@@ -1,0 +1,119 @@
+"""Intersection tests: brute force vs analytic, BVH vs brute force."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from zdr_tpu.accel import build_accel, trace_any, trace_closest
+from zdr_tpu.geometry.mesh import build_geometry
+from zdr_tpu.geometry.procedural import make_cornell_box, make_quad, make_uv_sphere
+from zdr_tpu.vecmath import normalize
+
+
+def sphere_geom(n_lat=24, n_lon=48):
+    return build_geometry([(make_uv_sphere(radius=1.0, n_lat=n_lat, n_lon=n_lon), None)])
+
+
+def random_rays(n, key=0, r=3.0):
+    k1, k2 = jax.random.split(jax.random.PRNGKey(key))
+    o = normalize(jax.random.normal(k1, (n, 3))) * r
+    target = jax.random.normal(k2, (n, 3)) * 0.3
+    d = normalize(target - o)
+    return o, d
+
+
+class TestBruteForce:
+    def test_sphere_hit_distance(self):
+        geom = sphere_geom(n_lat=64, n_lon=128)
+        accel = build_accel(geom, method="bruteforce")
+        o = jnp.array([[3.0, 0.0, 0.0]])
+        d = jnp.array([[-1.0, 0.0, 0.0]])
+        hit = trace_closest(accel, o, d)
+        assert not bool(hit.miss[0])
+        np.testing.assert_allclose(float(hit.t[0]), 2.0, atol=2e-3)
+        assert int(hit.inst[0]) == 0
+
+    def test_miss(self):
+        geom = sphere_geom()
+        accel = build_accel(geom, method="bruteforce")
+        o = jnp.array([[3.0, 0.0, 0.0]])
+        d = jnp.array([[1.0, 0.0, 0.0]])
+        hit = trace_closest(accel, o, d)
+        assert bool(hit.miss[0])
+        assert int(hit.prim[0]) == -1
+
+    def test_trace_any_matches_closest(self):
+        geom = sphere_geom()
+        accel = build_accel(geom, method="bruteforce")
+        o, d = random_rays(512, key=1)
+        hit = trace_closest(accel, o, d)
+        occ = trace_any(accel, o, d, t_min=1e-4, t_max=1e30)
+        np.testing.assert_array_equal(np.asarray(occ), ~np.asarray(hit.miss))
+
+    def test_t_max_respected(self):
+        geom = sphere_geom()
+        accel = build_accel(geom, method="bruteforce")
+        o = jnp.array([[3.0, 0.0, 0.0]])
+        d = jnp.array([[-1.0, 0.0, 0.0]])
+        occ = trace_any(accel, o, d, t_min=1e-4, t_max=1.5)
+        assert not bool(occ[0])  # sphere surface at t=2
+
+    def test_interpolate_position(self):
+        geom = sphere_geom(n_lat=64, n_lon=128)
+        accel = build_accel(geom, method="bruteforce")
+        o, d = random_rays(256, key=2)
+        hit = trace_closest(accel, o, d)
+        p = o + hit.t[:, None] * d
+        ok = ~np.asarray(hit.miss)
+        r = np.linalg.norm(np.asarray(p)[ok], axis=-1)
+        assert np.abs(r - 1.0).max() < 5e-3
+
+
+class TestBVH:
+    def test_matches_bruteforce_sphere(self):
+        geom = sphere_geom(n_lat=32, n_lon=64)
+        brute = build_accel(geom, method="bruteforce")
+        bvh = build_accel(geom, method="bvh")
+        o, d = random_rays(2048, key=3)
+        h1 = trace_closest(brute, o, d)
+        h2 = trace_closest(bvh, o, d)
+        np.testing.assert_array_equal(np.asarray(h1.miss), np.asarray(h2.miss))
+        ok = ~np.asarray(h1.miss)
+        np.testing.assert_allclose(
+            np.asarray(h1.t)[ok], np.asarray(h2.t)[ok], rtol=1e-5, atol=1e-5
+        )
+        np.testing.assert_array_equal(np.asarray(h1.prim)[ok], np.asarray(h2.prim)[ok])
+
+    def test_matches_bruteforce_cbox(self):
+        geom = build_geometry([(make_cornell_box(), None), (make_quad(), None)])
+        brute = build_accel(geom, method="bruteforce")
+        bvh = build_accel(geom, method="bvh")
+        # rays from inside the box in random directions
+        k = jax.random.PRNGKey(4)
+        o = jnp.tile(jnp.array([[-0.2, 2.6, -2.0]]), (1024, 1))
+        d = normalize(jax.random.normal(k, (1024, 3)))
+        h1 = trace_closest(brute, o, d)
+        h2 = trace_closest(bvh, o, d)
+        np.testing.assert_array_equal(np.asarray(h1.miss), np.asarray(h2.miss))
+        ok = ~np.asarray(h1.miss)
+        np.testing.assert_allclose(np.asarray(h1.t)[ok], np.asarray(h2.t)[ok], rtol=1e-5, atol=1e-5)
+
+    def test_any_hit(self):
+        geom = sphere_geom(n_lat=32, n_lon=64)
+        bvh = build_accel(geom, method="bvh")
+        o, d = random_rays(1024, key=5)
+        occ = trace_any(bvh, o, d, t_min=1e-4, t_max=1e30)
+        hit = trace_closest(bvh, o, d)
+        np.testing.assert_array_equal(np.asarray(occ), ~np.asarray(hit.miss))
+
+    def test_jit_compatible(self):
+        geom = sphere_geom()
+        bvh = build_accel(geom, method="bvh")
+        o, d = random_rays(64, key=6)
+
+        @jax.jit
+        def f(o, d):
+            return trace_closest(bvh, o, d).t
+
+        t = f(o, d)
+        assert np.isfinite(np.asarray(t)).any()

@@ -1,0 +1,130 @@
+"""Unit tests for the math core: ONB, camera, GGX BRDF closed-form checks."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from zdr_tpu.camera import generate_ray, tent_warp
+from zdr_tpu.dtypes import Camera, float3
+from zdr_tpu.microfacet import (
+    cosine_sample_hemisphere,
+    ggx_brdf,
+    ggx_sample,
+    ggx_sample_pdf,
+)
+from zdr_tpu.onb import make_onb
+from zdr_tpu.vecmath import dot, normalize
+
+
+def rand_unit(key, n):
+    v = jax.random.normal(key, (n, 3))
+    return normalize(v)
+
+
+class TestOnb:
+    def test_orthonormal(self):
+        n = rand_unit(jax.random.PRNGKey(0), 256)
+        onb = make_onb(n)
+        np.testing.assert_allclose(dot(onb.tangent, onb.binormal), 0.0, atol=1e-5)
+        np.testing.assert_allclose(dot(onb.tangent, onb.normal), 0.0, atol=1e-5)
+        np.testing.assert_allclose(dot(onb.binormal, onb.normal), 0.0, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(dot(onb.tangent, onb.tangent)), 1.0, atol=1e-5)
+
+    def test_roundtrip(self):
+        k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+        n = rand_unit(k1, 128)
+        v = rand_unit(k2, 128)
+        onb = make_onb(n)
+        v2 = onb.to_world(onb.to_local(v))
+        np.testing.assert_allclose(np.asarray(v2), np.asarray(v), atol=1e-5)
+
+    def test_local_z_is_normal(self):
+        n = rand_unit(jax.random.PRNGKey(2), 64)
+        onb = make_onb(n)
+        local = onb.to_local(n)
+        np.testing.assert_allclose(np.asarray(local[:, 2]), 1.0, atol=1e-5)
+
+
+class TestCamera:
+    def test_center_ray_hits_target(self):
+        cam = Camera(fov=0.7, origin=float3(1, 2, 3), target=float3(-1, 0, 5))
+        o, d = generate_ray(cam, jnp.zeros((1, 2)))
+        expect = np.asarray(normalize(cam.target - cam.origin))
+        np.testing.assert_allclose(np.asarray(d[0]), expect, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(o[0]), np.asarray(cam.origin), atol=1e-6)
+
+    def test_fov_edge(self):
+        cam = Camera(fov=np.pi / 2, origin=float3(0, 0, 0), target=float3(0, 0, -1), up=float3(0, 1, 0))
+        # x=+1 at 90deg fov -> 45deg off axis
+        o, d = generate_ray(cam, jnp.array([[1.0, 0.0]]))
+        ang = np.arccos(np.clip(np.asarray(d[0] @ np.array([0, 0, -1.0])), -1, 1))
+        np.testing.assert_allclose(ang, np.pi / 4, atol=1e-5)
+
+    def test_tent_warp_range_and_mean(self):
+        u = jnp.linspace(0.001, 0.999, 4001)
+        w = tent_warp(u, 1.0)
+        assert float(w.min()) >= -1.0 and float(w.max()) <= 1.0
+        assert abs(float(w.mean())) < 1e-3  # symmetric
+
+
+class TestGGX:
+    def test_pdf_integrates_to_one(self):
+        # integrate the mixture pdf over the hemisphere on a grid
+        n_theta, n_phi = 256, 128
+        theta = (jnp.arange(n_theta) + 0.5) / n_theta * (jnp.pi / 2)
+        phi = (jnp.arange(n_phi) + 0.5) / n_phi * (2 * jnp.pi)
+        tt, pp = jnp.meshgrid(theta, phi, indexing="ij")
+        wi = jnp.stack(
+            [jnp.sin(tt) * jnp.cos(pp), jnp.sin(tt) * jnp.sin(pp), jnp.cos(tt)], axis=-1
+        ).reshape(-1, 3)
+        wo = normalize(jnp.tile(jnp.array([[0.3, 0.1, 0.9]]), (wi.shape[0], 1)))
+        for rough in [0.2, 0.5, 1.0]:
+            r = jnp.full((wi.shape[0],), rough)
+            pdf = ggx_sample_pdf(wo, wi, r)
+            d_omega = jnp.sin(tt).reshape(-1) * (jnp.pi / 2 / n_theta) * (2 * jnp.pi / n_phi)
+            total = float(jnp.sum(pdf * d_omega))
+            assert abs(total - 1.0) < 2e-2, (rough, total)
+
+    def test_importance_sampling_consistency(self):
+        # E[brdf/pdf] over sampled wi == integral of brdf (estimated two ways)
+        n = 200_000
+        key = jax.random.PRNGKey(3)
+        k1, k2, k3 = jax.random.split(key, 3)
+        u_lobe = jax.random.uniform(k1, (n,))
+        u2 = jax.random.uniform(k2, (n, 2))
+        wo = normalize(jnp.tile(jnp.array([[0.4, -0.2, 0.8]]), (n, 1)))
+        rough = jnp.full((n,), 0.4)
+        diffuse = jnp.tile(jnp.array([[0.5, 0.5, 0.5]]), (n, 1))
+        wi = ggx_sample(wo, rough, u_lobe, u2)
+        pdf = ggx_sample_pdf(wo, wi, rough)
+        f = ggx_brdf(wo, wi, diffuse, 0.04, rough)
+        est_is = jnp.mean(
+            jnp.where((wi[:, 2:] > 1e-4) & (pdf[:, None] > 1e-6), f / jnp.maximum(pdf, 1e-6)[:, None], 0.0),
+            axis=0,
+        )
+        # uniform hemisphere reference
+        v = jax.random.normal(k3, (n, 3))
+        v = normalize(v)
+        v = v.at[:, 2].set(jnp.abs(v[:, 2]))
+        f_u = ggx_brdf(wo, v, diffuse, 0.04, rough)
+        est_uni = jnp.mean(f_u, axis=0) * 2 * jnp.pi
+        np.testing.assert_allclose(np.asarray(est_is), np.asarray(est_uni), rtol=0.05)
+
+    def test_cosine_hemisphere(self):
+        u = jax.random.uniform(jax.random.PRNGKey(4), (100_000, 2))
+        w = cosine_sample_hemisphere(u)
+        assert float(w[:, 2].min()) >= 0.0
+        # E[cos] under cosine sampling = 2/3
+        np.testing.assert_allclose(float(w[:, 2].mean()), 2.0 / 3.0, atol=5e-3)
+
+    def test_brdf_grad_finite(self):
+        # AD through eval must be NaN-free (this replaces in-kernel autodiff)
+        def f(mat):
+            wo = normalize(jnp.array([0.3, 0.2, 0.9]))
+            wi = normalize(jnp.array([-0.2, 0.1, 0.95]))
+            return jnp.sum(ggx_brdf(wo, wi, mat[:3], 0.04, mat[3]))
+
+        g = jax.grad(f)(jnp.array([0.5, 0.4, 0.3, 0.35]))
+        assert np.all(np.isfinite(np.asarray(g)))
+        assert float(jnp.abs(g).sum()) > 0

@@ -1,0 +1,92 @@
+"""Sampler tests: uniformity, determinism, hash semantics.
+
+Replaces the reference's eyeballed scatter plots (test_sampler.py) with
+numerical checks (SURVEY.md §4 suggests chi-square)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from zdr_tpu.samplers import make_sampler
+from zdr_tpu.samplers.hashes import (
+    next_pow2_mask,
+    permutation_element,
+    xxhash32_4,
+)
+
+
+def chi2_uniform(samples: np.ndarray, bins: int = 16) -> float:
+    """Return chi-square statistic per dof for U[0,1) samples."""
+    hist, _ = np.histogram(samples, bins=bins, range=(0, 1))
+    expected = len(samples) / bins
+    return float(((hist - expected) ** 2 / expected).sum() / (bins - 1))
+
+
+class TestHashes:
+    def test_xxhash_deterministic_and_spread(self):
+        n = 10000
+        x = jnp.arange(n, dtype=jnp.uint32)
+        h1 = np.asarray(xxhash32_4(x, x * 7, x * 13, x * 31))
+        h2 = np.asarray(xxhash32_4(x, x * 7, x * 13, x * 31))
+        np.testing.assert_array_equal(h1, h2)
+        # roughly uniform over uint32
+        u = h1.astype(np.float64) / 2**32
+        assert chi2_uniform(u) < 2.0
+
+    def test_permutation_is_bijection(self):
+        for spp in [7, 16, 64, 100]:
+            w = next_pow2_mask(spp)
+            i = jnp.arange(spp, dtype=jnp.uint32)
+            p = jnp.full((spp,), 0xDEADBEEF, dtype=jnp.uint32)
+            out = np.asarray(
+                permutation_element(i, jnp.full((spp,), spp, jnp.uint32), jnp.full((spp,), w, jnp.uint32), p)
+            )
+            assert sorted(out.tolist()) == list(range(spp)), spp
+
+    def test_next_pow2_mask(self):
+        assert next_pow2_mask(1) == 0
+        assert next_pow2_mask(2) == 1
+        assert next_pow2_mask(3) == 3
+        assert next_pow2_mask(64) == 63
+        assert next_pow2_mask(65) == 127
+
+
+class TestLCG:
+    def _samples(self, kind="lcg", n=50000, dims=4):
+        pixel = jnp.stack(
+            [jnp.arange(n, dtype=jnp.int32) % 512, jnp.arange(n, dtype=jnp.int32) // 512],
+            axis=-1,
+        )
+        s = make_sampler(kind, pixel, seed=7, spp=16, sample_index=3)
+        out = []
+        for _ in range(dims // 2):
+            u, s = s.next2()
+            out.append(u)
+        return np.asarray(jnp.concatenate(out, axis=-1))
+
+    def test_range_and_uniform(self):
+        u = self._samples()
+        assert u.min() >= 0.0 and u.max() < 1.0
+        for d in range(u.shape[1]):
+            assert chi2_uniform(u[:, d]) < 2.0, d
+
+    def test_decorrelated_across_pixels(self):
+        u = self._samples()
+        c = np.corrcoef(u[:-1, 0], u[1:, 0])[0, 1]
+        assert abs(c) < 0.02
+
+    def test_deterministic_replay(self):
+        pixel = jnp.zeros((8, 2), jnp.int32).at[:, 0].set(jnp.arange(8))
+        s1 = make_sampler("lcg", pixel, seed=1, spp=8, sample_index=2)
+        s2 = make_sampler("lcg", pixel, seed=1, spp=8, sample_index=2)
+        a, s1 = s1.next2()
+        b, s2 = s2.next2()
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        a2, _ = s1.next1()
+        b2, _ = s2.next1()
+        np.testing.assert_array_equal(np.asarray(a2), np.asarray(b2))
+
+    def test_seed_changes_stream(self):
+        pixel = jnp.zeros((128, 2), jnp.int32).at[:, 0].set(jnp.arange(128))
+        a, _ = make_sampler("lcg", pixel, 0, 8, 0).next1()
+        b, _ = make_sampler("lcg", pixel, 1, 8, 0).next1()
+        assert not np.allclose(np.asarray(a), np.asarray(b))

@@ -1,0 +1,77 @@
+"""Accel construction from Geometry."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry.mesh import Geometry
+from .bvh import build_bvh
+from .types import Accel
+
+# Below this many triangles the dense intersector wins on TPU (no gathers,
+# no divergence); above it, BVH traversal wins asymptotically.
+AUTO_BVH_THRESHOLD = 1024
+
+
+def build_accel(geom: Geometry, method: str = "auto", chunk: int = 256) -> Accel:
+    """Build an intersection structure for `geom`.
+
+    Note on index spaces: `tri_perm` maps accel-order triangles to *global*
+    triangle ids; `Accel.tri_inst` is indexed by global id (it is Geometry's
+    own table), so Hit.prim is always a global triangle id regardless of
+    method.
+    """
+    tris = np.asarray(geom.triangles)
+    pos = np.asarray(geom.positions)
+    v0 = pos[tris[:, 0]]
+    v1 = pos[tris[:, 1]]
+    v2 = pos[tris[:, 2]]
+    T = tris.shape[0]
+
+    if method == "auto":
+        method = "bvh" if T > AUTO_BVH_THRESHOLD else "bruteforce"
+
+    dummy3 = jnp.zeros((1, 3), jnp.float32)
+    dummy1i = jnp.zeros((1,), jnp.int32)
+    dummy1b = jnp.zeros((1,), bool)
+
+    if method == "bruteforce":
+        return Accel(
+            p0=jnp.asarray(v0),
+            e1=jnp.asarray(v1 - v0),
+            e2=jnp.asarray(v2 - v0),
+            tri_perm=jnp.arange(T, dtype=jnp.int32),
+            tri_inst=geom.tri_inst,
+            node_lo=dummy3,
+            node_hi=dummy3,
+            node_left=dummy1i,
+            node_right=dummy1i,
+            node_is_leaf=dummy1b,
+            method="bruteforce",
+            chunk=chunk,
+        )
+
+    if method == "bvh":
+        b = build_bvh(v0, v1, v2)
+        perm = b.tri_perm  # (T_padded,) global ids, -1 pads
+        safe = np.maximum(perm, 0)
+        p0 = np.where(perm[:, None] >= 0, v0[safe], 0.0).astype(np.float32)
+        e1 = np.where(perm[:, None] >= 0, (v1 - v0)[safe], 0.0).astype(np.float32)
+        e2 = np.where(perm[:, None] >= 0, (v2 - v0)[safe], 0.0).astype(np.float32)
+        return Accel(
+            p0=jnp.asarray(p0),
+            e1=jnp.asarray(e1),
+            e2=jnp.asarray(e2),
+            tri_perm=jnp.asarray(perm),
+            tri_inst=geom.tri_inst,
+            node_lo=jnp.asarray(b.node_lo),
+            node_hi=jnp.asarray(b.node_hi),
+            node_left=jnp.asarray(b.node_left),
+            node_right=jnp.asarray(b.node_right),
+            node_is_leaf=jnp.asarray(b.node_is_leaf),
+            method="bvh",
+            chunk=chunk,
+        )
+
+    raise ValueError(f"unknown accel method {method!r}")

@@ -1,0 +1,252 @@
+"""Batched ray-triangle intersection: dense brute force + BVH traversal.
+
+All entry points take flat ray batches (N, 3) and return batched Hit records.
+Both strategies are pure jnp, jit/vmap/shard_map-compatible, and run the
+whole wavefront in lock-step (the TPU analog of the reference's SIMT grid).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .bvh import LEAF_SIZE, MAX_STACK
+from .types import Accel, Hit
+
+_BIG = jnp.float32(1e30)
+
+
+def _moller_trumbore(
+    o: jnp.ndarray,  # (N, 1_or_C, 3)
+    d: jnp.ndarray,  # (N, 1_or_C, 3)
+    p0: jnp.ndarray,  # (..., C, 3)
+    e1: jnp.ndarray,
+    e2: jnp.ndarray,
+    t_min,
+    t_max,  # (N, 1) broadcastable
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Möller–Trumbore. Returns (t, u, v, valid) of shape (N, C)."""
+    h = jnp.cross(d, e2)
+    a = jnp.sum(e1 * h, axis=-1)
+    f = jnp.where(jnp.abs(a) > 1e-12, 1.0 / jnp.where(a == 0, 1.0, a), 0.0)
+    s = o - p0
+    u = f * jnp.sum(s * h, axis=-1)
+    q = jnp.cross(s, e1)
+    v = f * jnp.sum(d * q, axis=-1)
+    t = f * jnp.sum(e2 * q, axis=-1)
+    valid = (
+        (jnp.abs(a) > 1e-12)
+        & (u >= 0.0)
+        & (u <= 1.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t > t_min)
+        & (t < t_max)
+    )
+    return t, u, v, valid
+
+
+# ---------------------------------------------------------------- brute force
+
+
+def _brute_scan(accel: Accel, o, d, t_min, t_max, want_closest: bool):
+    """Scan over triangle chunks; carry the best hit (or an occluded flag)."""
+    T = accel.num_triangles
+    C = min(accel.chunk, max(T, 1))
+    pad = (-T) % C
+    p0 = jnp.pad(accel.p0, ((0, pad), (0, 0)))
+    e1 = jnp.pad(accel.e1, ((0, pad), (0, 0)))
+    e2 = jnp.pad(accel.e2, ((0, pad), (0, 0)))
+    ids = jnp.pad(accel.tri_perm, (0, pad), constant_values=-1)
+    n_chunks = (T + pad) // C
+    p0 = p0.reshape(n_chunks, C, 3)
+    e1 = e1.reshape(n_chunks, C, 3)
+    e2 = e2.reshape(n_chunks, C, 3)
+    ids = ids.reshape(n_chunks, C)
+
+    N = o.shape[0]
+    oN = o[:, None, :]
+    dN = d[:, None, :]
+    t_min_b = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (N,))[:, None]
+    t_max_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (N,))[:, None]
+
+    if want_closest:
+        def step(carry, chunk):
+            best_t, best_prim, best_u, best_v = carry
+            cp0, ce1, ce2, cid = chunk
+            t, u, v, ok = _moller_trumbore(
+                oN, dN, cp0[None], ce1[None], ce2[None], t_min_b, best_t[:, None]
+            )
+            ok = ok & (cid[None, :] >= 0)
+            t = jnp.where(ok, t, _BIG)
+            j = jnp.argmin(t, axis=-1)
+            lane = jnp.arange(N)
+            tj = t[lane, j]
+            better = tj < best_t
+            best_prim = jnp.where(better, cid[j], best_prim)
+            best_u = jnp.where(better, u[lane, j], best_u)
+            best_v = jnp.where(better, v[lane, j], best_v)
+            best_t = jnp.where(better, tj, best_t)
+            return (best_t, best_prim, best_u, best_v), None
+
+        init = (
+            jnp.broadcast_to(t_max_b[:, 0], (N,)).astype(jnp.float32),
+            jnp.full((N,), -1, jnp.int32),
+            jnp.zeros((N,), jnp.float32),
+            jnp.zeros((N,), jnp.float32),
+        )
+        (best_t, best_prim, best_u, best_v), _ = jax.lax.scan(
+            step, init, (p0, e1, e2, ids)
+        )
+        return best_t, best_prim, best_u, best_v
+    else:
+        def step(occluded, chunk):
+            cp0, ce1, ce2, cid = chunk
+            _, _, _, ok = _moller_trumbore(
+                oN, dN, cp0[None], ce1[None], ce2[None], t_min_b, t_max_b
+            )
+            ok = ok & (cid[None, :] >= 0)
+            return occluded | jnp.any(ok, axis=-1), None
+
+        occluded, _ = jax.lax.scan(
+            step, jnp.zeros((N,), bool), (p0, e1, e2, ids)
+        )
+        return occluded
+
+
+# ------------------------------------------------------------------ BVH
+
+
+def _safe_inv(d):
+    tiny = jnp.abs(d) < 1e-12
+    return jnp.where(tiny, jnp.where(d >= 0, _BIG, -_BIG), 1.0 / jnp.where(tiny, 1.0, d))
+
+
+def _aabb_hit(o, inv_d, lo, hi, t_min, t_max):
+    """Slab test. o/inv_d: (N,3); lo/hi: (N,3). Returns (hit, t_near)."""
+    t0 = (lo - o) * inv_d
+    t1 = (hi - o) * inv_d
+    near = jnp.max(jnp.minimum(t0, t1), axis=-1)
+    far = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    hit = (near <= far) & (far >= t_min) & (near <= t_max)
+    return hit, near
+
+
+def _bvh_loop(accel: Accel, o, d, t_min, t_max, want_closest: bool):
+    N = o.shape[0]
+    inv_d = _safe_inv(d)
+    lane = jnp.arange(N)
+    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (N,))
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (N,))
+
+    class S(NamedTuple):
+        stack: jnp.ndarray
+        sp: jnp.ndarray
+        best_t: jnp.ndarray
+        best_prim: jnp.ndarray
+        best_u: jnp.ndarray
+        best_v: jnp.ndarray
+        occluded: jnp.ndarray
+
+    init = S(
+        stack=jnp.zeros((N, MAX_STACK), jnp.int32),
+        sp=jnp.ones((N,), jnp.int32),
+        best_t=t_max,
+        best_prim=jnp.full((N,), -1, jnp.int32),
+        best_u=jnp.zeros((N,), jnp.float32),
+        best_v=jnp.zeros((N,), jnp.float32),
+        occluded=jnp.zeros((N,), bool),
+    )
+
+    def cond(s: S):
+        return jnp.any(s.sp > 0)
+
+    def body(s: S) -> S:
+        active = s.sp > 0
+        sp1 = jnp.where(active, s.sp - 1, s.sp)
+        node = jnp.where(active, s.stack[lane, sp1], 0)
+        is_leaf = accel.node_is_leaf[node] & active
+
+        # --- leaf path: fixed-size block of LEAF_SIZE triangles
+        start = accel.node_left[node]
+        tri = start[:, None] + jnp.arange(LEAF_SIZE, dtype=jnp.int32)[None, :]
+        tri = jnp.where(is_leaf[:, None], tri, 0)
+        t, u, v, ok = _moller_trumbore(
+            o[:, None, :],
+            d[:, None, :],
+            accel.p0[tri],
+            accel.e1[tri],
+            accel.e2[tri],
+            t_min[:, None],
+            s.best_t[:, None],
+        )
+        ok = ok & is_leaf[:, None] & (accel.tri_perm[tri] >= 0)
+        t = jnp.where(ok, t, _BIG)
+        j = jnp.argmin(t, axis=-1)
+        tj = t[lane, j]
+        better = tj < s.best_t
+        best_prim = jnp.where(better, accel.tri_perm[tri[lane, j]], s.best_prim)
+        best_u = jnp.where(better, u[lane, j], s.best_u)
+        best_v = jnp.where(better, v[lane, j], s.best_v)
+        best_t = jnp.where(better, tj, s.best_t)
+        occluded = s.occluded | jnp.any(ok, axis=-1)
+
+        # --- internal path: test children, push far then near
+        internal = active & ~accel.node_is_leaf[node]
+        lchild = accel.node_left[node]
+        rchild = accel.node_right[node]
+        lhit, lnear = _aabb_hit(o, inv_d, accel.node_lo[lchild], accel.node_hi[lchild], t_min, best_t)
+        rhit, rnear = _aabb_hit(o, inv_d, accel.node_lo[rchild], accel.node_hi[rchild], t_min, best_t)
+        lhit = lhit & internal
+        rhit = rhit & internal
+        l_first = lnear <= rnear
+        first = jnp.where(l_first, lchild, rchild)
+        second = jnp.where(l_first, rchild, lchild)
+        first_hit = jnp.where(l_first, lhit, rhit)
+        second_hit = jnp.where(l_first, rhit, lhit)
+        # push far child first so the near child pops first
+        stack = s.stack.at[lane, sp1].set(
+            jnp.where(second_hit, second, s.stack[lane, sp1])
+        )
+        sp2 = sp1 + second_hit.astype(jnp.int32)
+        stack = stack.at[lane, sp2].set(jnp.where(first_hit, first, stack[lane, sp2]))
+        sp3 = sp2 + first_hit.astype(jnp.int32)
+
+        if not want_closest:
+            sp3 = jnp.where(occluded, 0, sp3)
+
+        return S(stack, sp3, best_t, best_prim, best_u, best_v, occluded)
+
+    out = jax.lax.while_loop(cond, body, init)
+    if want_closest:
+        return out.best_t, out.best_prim, out.best_u, out.best_v
+    return out.occluded
+
+
+# ------------------------------------------------------------------ public
+
+
+def trace_closest(accel: Accel, o: jnp.ndarray, d: jnp.ndarray, t_min=0.0, t_max=1e30) -> Hit:
+    """Closest-hit trace (reference: accel.trace_closest, direct.py:22)."""
+    if accel.method == "bvh":
+        best_t, prim, u, v = _bvh_loop(accel, o, d, t_min, t_max, True)
+    else:
+        best_t, prim, u, v = _brute_scan(accel, o, d, t_min, t_max, True)
+    missed = prim < 0
+    inst = jnp.where(missed, -1, accel.tri_inst[jnp.maximum(prim, 0)])
+    return Hit(
+        t=jnp.where(missed, _BIG, best_t),
+        prim=prim,
+        inst=inst,
+        bary_u=u,
+        bary_v=v,
+    )
+
+
+def trace_any(accel: Accel, o: jnp.ndarray, d: jnp.ndarray, t_min=1e-4, t_max=1e30) -> jnp.ndarray:
+    """Any-hit (shadow) trace (reference: accel.trace_any, direct.py:44)."""
+    if accel.method == "bvh":
+        return _bvh_loop(accel, o, d, t_min, t_max, False)
+    return _brute_scan(accel, o, d, t_min, t_max, False)

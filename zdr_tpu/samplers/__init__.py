@@ -1,0 +1,38 @@
+"""Samplers: per-(pixel, seed, spp, sample_index) deterministic sample streams.
+
+All samplers are functional pytrees: `u, sampler = sampler.next1()` /
+`sampler.next2()`. Determinism given the key tuple is what makes Path Replay
+Backpropagation possible without storing paths (the backward pass replays the
+identical stream — reference prb.py:96-98).
+
+Available kinds (reference integrator.py:16-18):
+  * "pmj02bn" — progressive multi-jittered (0,2) blue-noise (default, as in
+    the reference).
+  * "corrmj"  — correlated multi-jitter.
+  * "lcg"     — plain hash-seeded LCG.
+"""
+
+from .hashes import ONE_MINUS_EPSILON
+from .lcg import LCGSampler, make_lcg_sampler
+
+
+def make_sampler(kind: str, pixel, seed, spp: int, sample_index):
+    if kind == "lcg":
+        return make_lcg_sampler(pixel, seed, spp, sample_index)
+    if kind == "pmj02bn":
+        from .pmj02bn import make_pmj02bn_sampler
+
+        return make_pmj02bn_sampler(pixel, seed, spp, sample_index)
+    if kind == "corrmj":
+        from .corrmj import make_corrmj_sampler
+
+        return make_corrmj_sampler(pixel, seed, spp, sample_index)
+    raise ValueError(f"unknown sampler kind: {kind!r}")
+
+
+__all__ = [
+    "make_sampler",
+    "make_lcg_sampler",
+    "LCGSampler",
+    "ONE_MINUS_EPSILON",
+]

@@ -1,0 +1,112 @@
+"""uint32 hashing / permutation primitives shared by the samplers.
+
+Reference: /root/reference/pmj02bn.py:33-74 and corrmj.py:5-44 (which needed
+signed-int workarounds in the CUDA DSL). Here everything is jnp.uint32 so
+wrap-around multiply/shift semantics are native.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+U32 = jnp.uint32
+ONE_MINUS_EPSILON = jnp.float32(float.fromhex("0x1.fffffep-1"))
+
+
+def u32(x) -> jnp.ndarray:
+    return jnp.asarray(x).astype(U32)
+
+
+def xxhash32_4(x, y, z, w) -> jnp.ndarray:
+    """xxhash32 of four 32-bit words (pmj02bn.py:59-74). Batched."""
+    p2 = U32(2246822519)
+    p3 = U32(3266489917)
+    p4 = U32(668265263)
+    p5 = U32(374761393)
+    x, y, z, w = u32(x), u32(y), u32(z), u32(w)
+    h = w + p5 + x * p3
+    h = p4 * ((h << 17) | (h >> 15))
+    h = h + y * p3
+    h = p4 * ((h << 17) | (h >> 15))
+    h = h + z * p3
+    h = p4 * ((h << 17) | (h >> 15))
+    h = p2 * (h ^ (h >> 15))
+    h = p3 * (h ^ (h >> 13))
+    return h ^ (h >> 16)
+
+
+def _permute_round(i: jnp.ndarray, w: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
+    """One round of the Kensler in-place permutation network."""
+    i = i ^ p
+    i = i * U32(0xE170893D)
+    i = i ^ (p >> 16)
+    i = i ^ ((i & w) >> 4)
+    i = i ^ (p >> 8)
+    i = i * U32(0x0929EB3F)
+    i = i ^ (p >> 23)
+    i = i ^ ((i & w) >> 1)
+    i = i * (U32(1) | (p >> 27))
+    i = i * U32(0x6935FA69)
+    i = i ^ ((i & w) >> 11)
+    i = i * U32(0x74DCB303)
+    i = i ^ ((i & w) >> 2)
+    i = i * U32(0x9E501CC3)
+    i = i ^ ((i & w) >> 2)
+    i = i * U32(0xC860A3DF)
+    i = i & w
+    i = i ^ (i >> 5)
+    return i
+
+
+def permutation_element(
+    i: jnp.ndarray, l: jnp.ndarray, w: jnp.ndarray, p: jnp.ndarray
+) -> jnp.ndarray:
+    """Kensler-style correlated permutation (pmj02bn.py:33-57), batched.
+
+    The rejection loop re-hashes lanes whose candidate >= l; since w+1 is the
+    next power of two above l, each round accepts with probability > 1/2, so
+    a batched while_loop converges in a couple of iterations.
+    """
+    i = u32(i)
+    l = u32(l)
+    w = u32(w)
+    p = u32(p)
+
+    cand = _permute_round(i, w, p)
+
+    def cond(state):
+        c, _ = state
+        return jnp.any(c >= l)
+
+    def body(state):
+        c, done = state
+        nxt = _permute_round(c, w, p)
+        newly_done = c < l
+        c = jnp.where(done | newly_done, c, nxt)
+        return c, done | newly_done
+
+    cand, _ = jax.lax.while_loop(cond, body, (cand, cand < l))
+    return (cand + p) % l
+
+
+def lcg_step(state: jnp.ndarray) -> jnp.ndarray:
+    return u32(state) * U32(1664525) + U32(1013904223)
+
+
+def lcg_to_unit_float(state: jnp.ndarray) -> jnp.ndarray:
+    """Map LCG state to [0,1) using the top-ish 24 bits (corrmj.py:87-92)."""
+    return (u32(state) & U32(0x00FFFFFF)).astype(jnp.float32) * jnp.float32(
+        1.0 / 0x01000000
+    )
+
+
+def next_pow2_mask(spp: int) -> int:
+    """w = next_pow2(spp) - 1 (pmj02bn.py:88-96). Host-side, spp is static."""
+    w = spp - 1
+    w |= w >> 1
+    w |= w >> 2
+    w |= w >> 4
+    w |= w >> 8
+    w |= w >> 16
+    return w

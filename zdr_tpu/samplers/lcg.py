@@ -1,0 +1,42 @@
+"""Stateless-seeded LCG sampler (the reference's swappable third option,
+integrator.py:18: luisa.util.make_random_sampler3d(int3(coord, seed^(it*...)))).
+
+State is a uint32 array of shape (N,) for a batch of N lanes; `next1`/`next2`
+return (value, new_sampler) so the sampler threads functionally through
+integrators and lax.scan carries.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax.numpy as jnp
+
+from .hashes import U32, lcg_step, lcg_to_unit_float, xxhash32_4
+
+
+class LCGSampler(NamedTuple):
+    state: jnp.ndarray  # uint32 (N,)
+
+    def next1(self) -> Tuple[jnp.ndarray, "LCGSampler"]:
+        s = lcg_step(self.state)
+        return lcg_to_unit_float(s), LCGSampler(s)
+
+    def next2(self) -> Tuple[jnp.ndarray, "LCGSampler"]:
+        s1 = lcg_step(self.state)
+        s2 = lcg_step(s1)
+        u = jnp.stack([lcg_to_unit_float(s1), lcg_to_unit_float(s2)], axis=-1)
+        return u, LCGSampler(s2)
+
+
+def make_lcg_sampler(
+    pixel: jnp.ndarray, seed, spp: int, sample_index
+) -> LCGSampler:
+    """pixel: (N, 2) int32; seed/sample_index: scalars or (N,)."""
+    mixed_seed = U32(jnp.asarray(seed).astype(jnp.uint32)) ^ (
+        jnp.asarray(sample_index).astype(jnp.uint32) * U32(987654347)
+    )
+    state = xxhash32_4(
+        pixel[..., 0], pixel[..., 1], mixed_seed, jnp.uint32(0x9E3779B9)
+    )
+    return LCGSampler(state)

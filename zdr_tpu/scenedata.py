@@ -1,0 +1,33 @@
+"""SceneData: the device-side scene pytree.
+
+Replaces the reference's bindless-heap slot convention (render.py:110-126:
+slots 23330-23335) with a typed pytree of flat arrays. Everything here flows
+through jit; `light_count`/`env_count` are traced scalars so that
+`update_lights` (light-stage switching) never recompiles.
+
+`has_env` is static: it selects whether env-lighting code is emitted at all.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from .accel.types import Accel
+from .envmap import EnvMap
+from .geometry.mesh import Geometry
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class SceneData:
+    geom: Geometry
+    accel: Accel
+    emission: jnp.ndarray  # (I, 3) float32, per-instance radiance
+    light_insts: jnp.ndarray  # (I,) int32, first light_count entries valid
+    light_count: jnp.ndarray  # () int32
+    env_count: jnp.ndarray  # () int32 (0 or 1)
+    env: EnvMap
+    has_env: bool = dataclasses.field(metadata=dict(static=True), default=False)
