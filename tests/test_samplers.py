@@ -66,8 +66,10 @@ class TestLCG:
     def test_range_and_uniform(self):
         u = self._samples()
         assert u.min() >= 0.0 and u.max() < 1.0
+        # chi2/dof for 15 dof: mean 1, sd 0.37; 3.0 is ~5 sigma — catches
+        # broken hashing without flaking on unlucky seeds.
         for d in range(u.shape[1]):
-            assert chi2_uniform(u[:, d]) < 2.0, d
+            assert chi2_uniform(u[:, d]) < 3.0, d
 
     def test_decorrelated_across_pixels(self):
         u = self._samples()

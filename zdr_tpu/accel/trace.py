@@ -229,24 +229,35 @@ def _bvh_loop(accel: Accel, o, d, t_min, t_max, want_closest: bool):
 
 
 def trace_closest(accel: Accel, o: jnp.ndarray, d: jnp.ndarray, t_min=0.0, t_max=1e30) -> Hit:
-    """Closest-hit trace (reference: accel.trace_closest, direct.py:22)."""
+    """Closest-hit trace (reference: accel.trace_closest, direct.py:22).
+
+    Results are stop_gradient'ed: intersection is never differentiated (the
+    material parameters don't move geometry, and reverse-mode through the
+    traversal while_loop is undefined anyway).
+    """
+    o = jax.lax.stop_gradient(o)
+    d = jax.lax.stop_gradient(d)
     if accel.method == "bvh":
         best_t, prim, u, v = _bvh_loop(accel, o, d, t_min, t_max, True)
     else:
         best_t, prim, u, v = _brute_scan(accel, o, d, t_min, t_max, True)
     missed = prim < 0
     inst = jnp.where(missed, -1, accel.tri_inst[jnp.maximum(prim, 0)])
-    return Hit(
+    hit = Hit(
         t=jnp.where(missed, _BIG, best_t),
         prim=prim,
         inst=inst,
         bary_u=u,
         bary_v=v,
     )
+    return jax.tree.map(jax.lax.stop_gradient, hit)
 
 
 def trace_any(accel: Accel, o: jnp.ndarray, d: jnp.ndarray, t_min=1e-4, t_max=1e30) -> jnp.ndarray:
     """Any-hit (shadow) trace (reference: accel.trace_any, direct.py:44)."""
+    o = jax.lax.stop_gradient(o)
+    d = jax.lax.stop_gradient(d)
+    t_max = jax.lax.stop_gradient(t_max)
     if accel.method == "bvh":
         return _bvh_loop(accel, o, d, t_min, t_max, False)
     return _brute_scan(accel, o, d, t_min, t_max, False)

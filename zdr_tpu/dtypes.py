@@ -55,10 +55,21 @@ class Camera:
     up: jnp.ndarray
 
     def __init__(self, fov=0.6981317, origin=None, target=None, up=None):
-        self.fov = jnp.asarray(fov, dtype=jnp.float32)
-        self.origin = float3(origin) if origin is not None else float3(1.0, 0.5, 0.0)
-        self.target = float3(target) if target is not None else float3(0.0, 0.0, 0.0)
-        self.up = float3(up) if up is not None else float3(0.0, 1.0, 0.0)
+        # Convert only host-side python values; tracers/arrays (and pytree
+        # unflattening sentinels) must pass through untouched.
+        def conv(v, default):
+            if v is None:
+                return float3(*default)
+            if isinstance(v, (int, float, tuple, list, np.ndarray)):
+                return float3(v)
+            return v
+
+        if isinstance(fov, (int, float)):
+            fov = jnp.asarray(fov, dtype=jnp.float32)
+        self.fov = fov
+        self.origin = conv(origin, (1.0, 0.5, 0.0))
+        self.target = conv(target, (0.0, 0.0, 0.0))
+        self.up = conv(up, (0.0, 1.0, 0.0))
 
 
 def default_camera() -> Camera:

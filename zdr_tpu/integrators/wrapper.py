@@ -1,0 +1,183 @@
+"""Render wrapper: pixel grid -> primary rays -> spp scan -> image, plus the
+decorrelated backward pass, assembled into a jax.custom_vjp.
+
+This is the TPU inversion of the reference's megakernel wrappers
+(integrator.py:8-53): instead of one GPU thread per pixel looping over spp,
+the whole pixel grid is one flat ray batch and spp is a `lax.scan`
+(accumulating into the image), so every step is a full-width wavefront. The
+backward pass follows render.py:176-199 + integrator.py:32-53: it does NOT
+differentiate the stored forward pass — it re-estimates the gradient with an
+independent sample stream at seed+1, reading d_image/spp as the per-sample
+adjoint. That keeps memory flat (nothing is taped across spp) and matches
+the reference's statistics.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import lru_cache, partial
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..camera import generate_ray, tent_warp
+from ..dtypes import Camera
+from ..samplers import make_sampler
+from ..scenedata import SceneData
+
+RADIANCE_CLAMP = 1e5  # reference integrator.py:28
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static render settings (one frozen dataclass instead of the
+    reference's scattered module-level flags — SURVEY.md §5)."""
+
+    res: Tuple[int, int]  # (width, height)
+    spp: int
+    integrator: str = "direct"
+    sampler: str = "lcg"
+    use_tent_filter: bool = True
+    # spp folded into each scan step; raise to amortize fixed costs when
+    # rays-per-pass is small, lower to bound memory.
+    spp_per_pass: int = 1
+
+
+def _pixel_grid(res: Tuple[int, int]) -> jnp.ndarray:
+    w, h = res
+    x = jnp.arange(w, dtype=jnp.int32)
+    y = jnp.arange(h, dtype=jnp.int32)
+    xx, yy = jnp.meshgrid(x, y)  # (h, w), x fastest
+    return jnp.stack([xx.reshape(-1), yy.reshape(-1)], axis=-1)  # (h*w, 2)
+
+
+def _primary_rays(coords, camera: Camera, sampler, res, use_tent_filter):
+    """Pixel jitter + NDC mapping + ray gen (integrator.py:19-24)."""
+    w, h = res
+    u2, sampler = sampler.next2()
+    if use_tent_filter:
+        offset = tent_warp(u2, 1.0) + 0.5
+    else:
+        offset = u2
+    resf = jnp.array([w, h], jnp.float32)
+    pixel = 2.0 / resf * (coords.astype(jnp.float32) + offset) - 1.0
+    pixel = pixel * jnp.array([1.0, h / w], jnp.float32)  # y aspect correction
+    o, d = generate_ray(camera, pixel)
+    return o, d, sampler
+
+
+def render_forward(
+    data: SceneData,
+    material: jnp.ndarray,
+    camera: Camera,
+    seed,
+    cfg: RenderConfig,
+    estimator: Callable,
+) -> jnp.ndarray:
+    """Forward render -> (H, W, 4) image (mean radiance, alpha=1)."""
+    w, h = cfg.res
+    coords = _pixel_grid(cfg.res)
+
+    def one_sample(acc, it):
+        sampler = make_sampler(cfg.sampler, coords, seed, cfg.spp, it)
+        o, d, sampler = _primary_rays(coords, camera, sampler, cfg.res, cfg.use_tent_filter)
+        radiance = estimator(data, material, o, d, sampler)
+        good = ~jnp.any(jnp.isnan(radiance), axis=-1, keepdims=True)
+        radiance = jnp.where(good, jnp.clip(radiance, 0.0, RADIANCE_CLAMP), 0.0)
+        return acc + radiance, None
+
+    acc, _ = jax.lax.scan(
+        one_sample, jnp.zeros((h * w, 3), jnp.float32), jnp.arange(cfg.spp)
+    )
+    rgb = (acc / cfg.spp).reshape(h, w, 3)
+    alpha = jnp.ones((h, w, 1), jnp.float32)
+    return jnp.concatenate([rgb, alpha], axis=-1)
+
+
+def render_grad(
+    data: SceneData,
+    material: jnp.ndarray,
+    camera: Camera,
+    seed,
+    d_image: jnp.ndarray,
+    cfg: RenderConfig,
+    estimator: Callable,
+    backward: Optional[Callable],
+) -> jnp.ndarray:
+    """Gradient estimator (integrator.py:32-53): replay rays at this seed,
+    inject d_image/spp as the per-sample adjoint, accumulate d_material."""
+    w, h = cfg.res
+    coords = _pixel_grid(cfg.res)
+    le_grad = d_image[..., :3].reshape(h * w, 3) / cfg.spp
+    le_grad = jnp.where(jnp.isnan(le_grad), 0.0, le_grad)
+
+    def one_sample(d_mat, it):
+        sampler = make_sampler(cfg.sampler, coords, seed, cfg.spp, it)
+        o, d, sampler = _primary_rays(coords, camera, sampler, cfg.res, cfg.use_tent_filter)
+        if backward is not None:
+            contrib = backward(data, material, o, d, sampler, le_grad)
+        else:
+            def weighted(mat):
+                radiance = estimator(data, mat, o, d, sampler)
+                radiance = jnp.where(jnp.isnan(radiance), 0.0, radiance)
+                return jnp.sum(radiance * le_grad)
+
+            contrib = jax.grad(weighted)(material)
+        return d_mat + contrib, None
+
+    d_mat, _ = jax.lax.scan(
+        one_sample, jnp.zeros_like(material), jnp.arange(cfg.spp)
+    )
+    return d_mat
+
+
+def _zero_cotangent(tree):
+    """Zero cotangents for a pytree with integer/bool leaves (float0)."""
+
+    def z(x):
+        if hasattr(x, "dtype") and (
+            jnp.issubdtype(x.dtype, jnp.integer) or x.dtype == jnp.bool_
+        ):
+            return np.zeros(x.shape, dtype=jax.dtypes.float0)
+        if hasattr(x, "dtype"):
+            return jnp.zeros_like(x)
+        return np.zeros((), dtype=jax.dtypes.float0)
+
+    return jax.tree.map(z, tree)
+
+
+@lru_cache(maxsize=None)
+def build_render(cfg: RenderConfig) -> Callable:
+    """Build the differentiable render callable for a static config.
+
+    The returned function has signature (material, data, camera, seed) ->
+    (H, W, 4) image, differentiable w.r.t. material only, with the backward
+    pass running the decorrelated gradient estimator at seed+1
+    (render.py:196)."""
+    from . import get_integrator
+
+    estimator, backward = get_integrator(cfg.integrator)
+
+    @jax.custom_vjp
+    def render(material, data, camera, seed):
+        return render_forward(data, material, camera, seed, cfg, estimator)
+
+    def fwd(material, data, camera, seed):
+        return render(material, data, camera, seed), (material, data, camera, seed)
+
+    def bwd(saved, g):
+        material, data, camera, seed = saved
+        d_mat = render_grad(
+            data, material, camera, seed + 1, g, cfg, estimator, backward
+        )
+        return (
+            d_mat,
+            _zero_cotangent(data),
+            _zero_cotangent(camera),
+            _zero_cotangent(seed),
+        )
+
+    render.defvjp(fwd, bwd)
+    return jax.jit(render)

@@ -94,9 +94,24 @@ def lcg_step(state: jnp.ndarray) -> jnp.ndarray:
     return u32(state) * U32(1664525) + U32(1013904223)
 
 
+def _finalize(h: jnp.ndarray) -> jnp.ndarray:
+    """murmur3-style avalanche: decorrelates raw LCG state bits."""
+    h = u32(h)
+    h = h ^ (h >> 16)
+    h = h * U32(0x7FEB352D)
+    h = h ^ (h >> 15)
+    h = h * U32(0x846CA68B)
+    h = h ^ (h >> 16)
+    return h
+
+
 def lcg_to_unit_float(state: jnp.ndarray) -> jnp.ndarray:
-    """Map LCG state to [0,1) using the top-ish 24 bits (corrmj.py:87-92)."""
-    return (u32(state) & U32(0x00FFFFFF)).astype(jnp.float32) * jnp.float32(
+    """Map LCG state to [0,1) via an avalanche finalizer + top 24 bits.
+
+    The raw LCG (corrmj.py:87-92 uses it directly) has visibly correlated
+    low bits; the finalizer fixes stratification-test failures without
+    changing the functional sampler interface."""
+    return (_finalize(state) >> U32(8)).astype(jnp.float32) * jnp.float32(
         1.0 / 0x01000000
     )
 
