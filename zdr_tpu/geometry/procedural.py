@@ -122,5 +122,6 @@ def make_cornell_light() -> ObjMesh:
     )
     uv = np.zeros((4, 2), dtype=np.float32)
     nrm = np.tile(np.array([[0.0, -1.0, 0.0]], dtype=np.float32), (4, 1))
-    tri = np.array([[0, 1, 2], [0, 2, 3]], dtype=np.int32)
+    # winding chosen so the geometric normal faces down into the room
+    tri = np.array([[0, 2, 1], [0, 3, 2]], dtype=np.int32)
     return ObjMesh(pos, uv, nrm, tri)
