@@ -112,6 +112,38 @@ class TestDirect:
         assert_close(ad, fd, rtol=0.15)
 
 
+@pytest.fixture(scope="module")
+def path_scene():
+    s = Scene(
+        [(make_cornell_box(), None, None), (make_cornell_light(), None, 15.0)],
+        integrator="path",
+    )
+    s.camera = Camera(
+        fov=50 / 180 * 3.14159,
+        origin=float3(-0.2, 2.6, -0.5),
+        target=float3(-0.2, 2.6, -5.0),
+    )
+    return s
+
+
+class TestPathPRB:
+    def test_gi_brighter_than_direct(self, path_scene, direct_scene):
+        mat = jnp.full((16, 16, 4), 0.5)
+        p = np.asarray(path_scene.render(mat, res=(32, 32), spp=32, seed=0))
+        d = np.asarray(direct_scene.render(mat, res=(32, 32), spp=32, seed=0))
+        assert np.isfinite(p).all()
+        # indirect bounces add energy
+        assert p[..., :3].mean() > d[..., :3].mean() * 1.2
+
+    def test_diffuse_grad(self, path_scene):
+        ad, fd = fd_ad_pair(path_scene, channel=0)
+        assert_close(ad, fd, rtol=0.15)
+
+    def test_roughness_grad(self, path_scene):
+        ad, fd = fd_ad_pair(path_scene, channel=3)
+        assert_close(ad, fd, rtol=0.15)
+
+
 class TestDirectEnvmap:
     def test_image_lit(self, env_scene):
         mat = jnp.full((16, 16, 4), 0.5)
