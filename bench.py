@@ -1,0 +1,98 @@
+"""Benchmark: Cornell-box 512x512 path trace, forward + PRB backward.
+
+The driver-defined north-star metric (BASELINE.json): Mrays/s for a full
+differentiable iteration (render + texture-gradient) on the path integrator.
+The reference publishes no numbers (BASELINE.md), so this establishes the
+baseline; `vs_baseline` is measured against the first value recorded in
+BASELINE.md ("ours_r1" below).
+
+Ray accounting (documented, honest): the path_stats probe measures the
+average number of closest-hit and shadow traces per camera sample for this
+exact scene/sampler. Forward cost = closest + shadow per sample; PRB backward
+re-walks the path twice (Le replay + gradient walk), so backward ~= 2x
+forward. total_rays = res^2 * spp * (closest + shadow) * 3.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+RES = (512, 512)
+SPP = 64
+ITERS = 5
+# First measured value on this hardware, recorded in BASELINE.md. Update when
+# re-baselining.
+BASELINE_MRAYS = None  # set after first TPU run
+
+
+def main():
+    from zdr_tpu import Camera, Scene, float3
+    from zdr_tpu.geometry.procedural import make_cornell_box, make_cornell_light
+    from zdr_tpu.integrators import RenderConfig, get_integrator
+    from zdr_tpu.integrators.path import path_stats
+    from zdr_tpu.integrators.wrapper import _pixel_grid, _primary_rays
+    from zdr_tpu.samplers import make_sampler
+
+    scene = Scene(
+        [(make_cornell_box(), None, None), (make_cornell_light(), None, 15.0)],
+        integrator="path",
+    )
+    scene.camera = Camera(
+        fov=50 / 180 * 3.1415926,
+        origin=float3(-0.2, 2.6, -0.5),
+        target=float3(-0.2, 2.6, -5.0),
+    )
+    material = jnp.full((1024, 1024, 4), 0.5, jnp.float32)
+
+    # --- ray-count probe (small res; per-sample averages are res-agnostic)
+    cfg_probe = scene._config(res=(64, 64), spp=1)
+    coords = _pixel_grid(cfg_probe.res)
+    smp = make_sampler(cfg_probe.sampler, coords, 0, 1, 0)
+    o, d, smp = _primary_rays(
+        coords, scene.camera, smp, cfg_probe.res, cfg_probe.use_tent_filter
+    )
+    n_closest, n_shadow = path_stats(scene._data, material, o, d, smp)
+    rays_per_sample = float(n_closest) + float(n_shadow)
+
+    # --- timed fwd+bwd iterations
+    @jax.jit
+    def step(m, seed):
+        def loss_fn(mm):
+            img = scene.render(mm, res=RES, spp=SPP, seed=seed)
+            return jnp.sum(img[..., :3])
+
+        return jax.value_and_grad(loss_fn)(m)
+
+    # warmup / compile
+    l, g = step(material, jnp.asarray(0, jnp.int32))
+    g.block_until_ready()
+
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        l, g = step(material, jnp.asarray(i + 1, jnp.int32))
+    g.block_until_ready()
+    dt = (time.perf_counter() - t0) / ITERS
+
+    n_samples = RES[0] * RES[1] * SPP
+    total_rays = n_samples * rays_per_sample * 3.0  # fwd + 2x-walk PRB bwd
+    mrays = total_rays / dt / 1e6
+
+    vs = mrays / BASELINE_MRAYS if BASELINE_MRAYS else 1.0
+    print(
+        json.dumps(
+            {
+                "metric": "cbox512_path_fwd+prb_bwd",
+                "value": round(mrays, 2),
+                "unit": "Mrays/s",
+                "vs_baseline": round(vs, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -14,7 +14,7 @@ from .types import Accel
 AUTO_BVH_THRESHOLD = 1024
 
 
-def build_accel(geom: Geometry, method: str = "auto", chunk: int = 256) -> Accel:
+def build_accel(geom: Geometry, method: str = "auto", chunk: int = 0) -> Accel:
     """Build an intersection structure for `geom`.
 
     Note on index spaces: `tri_perm` maps accel-order triangles to *global*
@@ -31,6 +31,12 @@ def build_accel(geom: Geometry, method: str = "auto", chunk: int = 256) -> Accel
 
     if method == "auto":
         method = "bvh" if T > AUTO_BVH_THRESHOLD else "bruteforce"
+
+    if chunk <= 0:
+        # Small chunks keep the (N_rays, chunk) intermediates fused in VMEM
+        # instead of spilling to HBM; padding a tiny scene to a huge chunk
+        # multiplies both compute and memory traffic (measured 20x+ on cbox).
+        chunk = min(max(16, -(-T // 8) * 8), 128)
 
     dummy3 = jnp.zeros((1, 3), jnp.float32)
     dummy1i = jnp.zeros((1,), jnp.int32)

@@ -80,14 +80,20 @@ def _brute_scan(accel: Accel, o, d, t_min, t_max, want_closest: bool):
                 oN, dN, cp0[None], ce1[None], ce2[None], t_min_b, best_t[:, None]
             )
             ok = ok & (cid[None, :] >= 0)
+            # Selection by reductions only: take-along-axis gathers after an
+            # argmin measure ~1000x slower than a min-reduce on TPU.
             t = jnp.where(ok, t, _BIG)
-            j = jnp.argmin(t, axis=-1)
-            lane = jnp.arange(N)
-            tj = t[lane, j]
+            tj = jnp.min(t, axis=-1)
+            sel_prim = jnp.min(
+                jnp.where(t <= tj[:, None], cid[None, :], jnp.int32(2**30)), axis=-1
+            )
+            sel_mask = cid[None, :] == sel_prim[:, None]
+            uj = jnp.sum(jnp.where(sel_mask, u, 0.0), axis=-1)
+            vj = jnp.sum(jnp.where(sel_mask, v, 0.0), axis=-1)
             better = tj < best_t
-            best_prim = jnp.where(better, cid[j], best_prim)
-            best_u = jnp.where(better, u[lane, j], best_u)
-            best_v = jnp.where(better, v[lane, j], best_v)
+            best_prim = jnp.where(better, sel_prim, best_prim)
+            best_u = jnp.where(better, uj, best_u)
+            best_v = jnp.where(better, vj, best_v)
             best_t = jnp.where(better, tj, best_t)
             return (best_t, best_prim, best_u, best_v), None
 
@@ -182,14 +188,20 @@ def _bvh_loop(accel: Accel, o, d, t_min, t_max, want_closest: bool):
             t_min[:, None],
             s.best_t[:, None],
         )
-        ok = ok & is_leaf[:, None] & (accel.tri_perm[tri] >= 0)
+        gid = accel.tri_perm[tri]  # (N, LEAF) global ids
+        ok = ok & is_leaf[:, None] & (gid >= 0)
         t = jnp.where(ok, t, _BIG)
-        j = jnp.argmin(t, axis=-1)
-        tj = t[lane, j]
+        tj = jnp.min(t, axis=-1)
+        sel_prim = jnp.min(
+            jnp.where(t <= tj[:, None], gid, jnp.int32(2**30)), axis=-1
+        )
+        sel_mask = gid == sel_prim[:, None]
+        uj = jnp.sum(jnp.where(sel_mask, u, 0.0), axis=-1)
+        vj = jnp.sum(jnp.where(sel_mask, v, 0.0), axis=-1)
         better = tj < s.best_t
-        best_prim = jnp.where(better, accel.tri_perm[tri[lane, j]], s.best_prim)
-        best_u = jnp.where(better, u[lane, j], s.best_u)
-        best_v = jnp.where(better, v[lane, j], s.best_v)
+        best_prim = jnp.where(better, sel_prim, s.best_prim)
+        best_u = jnp.where(better, uj, s.best_u)
+        best_v = jnp.where(better, vj, s.best_v)
         best_t = jnp.where(better, tj, s.best_t)
         occluded = s.occluded | jnp.any(ok, axis=-1)
 

@@ -288,3 +288,40 @@ def path_backward(data: SceneData, material, ray_o, ray_d, sampler, le_grad):
     )
     out, _ = jax.lax.scan(body, init, jnp.arange(max_depth))
     return out[-1]
+
+
+def path_stats(data: SceneData, material, ray_o, ray_d, sampler):
+    """Observability probe: average closest-hit and shadow traces per camera
+    sample (the reference has no tracing/profiling at all — SURVEY.md §5).
+    Used by bench.py to convert wall-clock into Mrays/s honestly."""
+    N = ray_o.shape[0]
+
+    def body(carry, depth):
+        o, d, beta, pdf_prev, active, smp, n_closest, n_shadow = carry
+        # every live lane costs one closest trace; shading lanes cost one
+        # shadow trace (NEE fires for every shading lane)
+        n_closest = n_closest + jnp.sum(active)
+        v, smp = _walk_one_bounce(data, material, o, d, pdf_prev, active, smp)
+        shading = v.nee_ok | v.active  # lanes that ran the NEE shadow ray
+        n_shadow = n_shadow + jnp.sum(shading)
+        beta_next = beta * v.bsdf_bounce / jnp.maximum(v.pdf_bounce, 1e-9)[..., None]
+        active2, rr = _apply_rr(depth, beta_next, v.active, v.rr_scale)
+        beta_out = jnp.where(active2[..., None], beta_next * rr[..., None], beta)
+        return (
+            v.next_o, v.next_d, beta_out,
+            jnp.where(active2, v.pdf_bounce, pdf_prev),
+            active2, smp, n_closest, n_shadow,
+        ), None
+
+    init = (
+        ray_o, ray_d,
+        jnp.ones((N, 3), jnp.float32),
+        jnp.full((N,), 1e30, jnp.float32),
+        jnp.ones((N,), bool),
+        sampler,
+        jnp.zeros((), jnp.float32),
+        jnp.zeros((), jnp.float32),
+    )
+    out, _ = jax.lax.scan(body, init, jnp.arange(max_depth))
+    n_closest, n_shadow = out[-2], out[-1]
+    return n_closest / N, n_shadow / N

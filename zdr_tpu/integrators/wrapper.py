@@ -68,6 +68,36 @@ def _primary_rays(coords, camera: Camera, sampler, res, use_tent_filter):
     return o, d, sampler
 
 
+def render_forward_rays(
+    data: SceneData,
+    material: jnp.ndarray,
+    camera: Camera,
+    seed,
+    cfg: RenderConfig,
+    estimator: Callable,
+    coords: jnp.ndarray,
+) -> jnp.ndarray:
+    """spp-averaged radiance for an arbitrary pixel-coord batch -> (M, 3).
+
+    This is the shardable unit: devices each take a slice of the pixel grid
+    (see zdr_tpu.parallel)."""
+
+    def one_sample(acc, it):
+        sampler = make_sampler(cfg.sampler, coords, seed, cfg.spp, it)
+        o, d, sampler = _primary_rays(coords, camera, sampler, cfg.res, cfg.use_tent_filter)
+        radiance = estimator(data, material, o, d, sampler)
+        good = ~jnp.any(jnp.isnan(radiance), axis=-1, keepdims=True)
+        radiance = jnp.where(good, jnp.clip(radiance, 0.0, RADIANCE_CLAMP), 0.0)
+        return acc + radiance, None
+
+    acc, _ = jax.lax.scan(
+        one_sample,
+        jnp.zeros((coords.shape[0], 3), jnp.float32),
+        jnp.arange(cfg.spp),
+    )
+    return acc / cfg.spp
+
+
 def render_forward(
     data: SceneData,
     material: jnp.ndarray,
@@ -79,39 +109,24 @@ def render_forward(
     """Forward render -> (H, W, 4) image (mean radiance, alpha=1)."""
     w, h = cfg.res
     coords = _pixel_grid(cfg.res)
-
-    def one_sample(acc, it):
-        sampler = make_sampler(cfg.sampler, coords, seed, cfg.spp, it)
-        o, d, sampler = _primary_rays(coords, camera, sampler, cfg.res, cfg.use_tent_filter)
-        radiance = estimator(data, material, o, d, sampler)
-        good = ~jnp.any(jnp.isnan(radiance), axis=-1, keepdims=True)
-        radiance = jnp.where(good, jnp.clip(radiance, 0.0, RADIANCE_CLAMP), 0.0)
-        return acc + radiance, None
-
-    acc, _ = jax.lax.scan(
-        one_sample, jnp.zeros((h * w, 3), jnp.float32), jnp.arange(cfg.spp)
-    )
-    rgb = (acc / cfg.spp).reshape(h, w, 3)
+    rgb = render_forward_rays(data, material, camera, seed, cfg, estimator, coords)
+    rgb = rgb.reshape(h, w, 3)
     alpha = jnp.ones((h, w, 1), jnp.float32)
     return jnp.concatenate([rgb, alpha], axis=-1)
 
 
-def render_grad(
+def render_grad_rays(
     data: SceneData,
     material: jnp.ndarray,
     camera: Camera,
     seed,
-    d_image: jnp.ndarray,
+    le_grad: jnp.ndarray,
     cfg: RenderConfig,
     estimator: Callable,
     backward: Optional[Callable],
+    coords: jnp.ndarray,
 ) -> jnp.ndarray:
-    """Gradient estimator (integrator.py:32-53): replay rays at this seed,
-    inject d_image/spp as the per-sample adjoint, accumulate d_material."""
-    w, h = cfg.res
-    coords = _pixel_grid(cfg.res)
-    le_grad = d_image[..., :3].reshape(h * w, 3) / cfg.spp
-    le_grad = jnp.where(jnp.isnan(le_grad), 0.0, le_grad)
+    """d_material for one pixel-coord batch given per-sample adjoints (M,3)."""
 
     def one_sample(d_mat, it):
         sampler = make_sampler(cfg.sampler, coords, seed, cfg.spp, it)
@@ -131,6 +146,27 @@ def render_grad(
         one_sample, jnp.zeros_like(material), jnp.arange(cfg.spp)
     )
     return d_mat
+
+
+def render_grad(
+    data: SceneData,
+    material: jnp.ndarray,
+    camera: Camera,
+    seed,
+    d_image: jnp.ndarray,
+    cfg: RenderConfig,
+    estimator: Callable,
+    backward: Optional[Callable],
+) -> jnp.ndarray:
+    """Gradient estimator (integrator.py:32-53): replay rays at this seed,
+    inject d_image/spp as the per-sample adjoint, accumulate d_material."""
+    w, h = cfg.res
+    coords = _pixel_grid(cfg.res)
+    le_grad = d_image[..., :3].reshape(h * w, 3) / cfg.spp
+    le_grad = jnp.where(jnp.isnan(le_grad), 0.0, le_grad)
+    return render_grad_rays(
+        data, material, camera, seed, le_grad, cfg, estimator, backward, coords
+    )
 
 
 def _zero_cotangent(tree):
