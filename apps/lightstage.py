@@ -1,0 +1,141 @@
+"""Light-stage material capture workload.
+
+Reference: /root/reference/test_lightstage.py — an object surrounded by many
+individually switchable area lights (quads placed on a Fibonacci sphere via
+rotation matrices), rendered under different light configurations via
+`update_lights`. The missing bunnyuv.obj is replaced by the procedural UV
+sphere; lightstage/l*.obj quads are generated with the same rotate-matrix
+construction.
+
+Also demonstrates the batched multi-light recovery workflow (BASELINE.json
+config #5): render GT under several light patterns, then jointly optimize
+the texture from all of them.
+
+Run:  python apps/lightstage.py [--small]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from math import acos, cos, pi, sin
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from zdr_tpu import Camera, Scene, float3
+from zdr_tpu.geometry.procedural import make_quad, make_uv_sphere
+
+
+def rotate_mat(theta: float, phi: float, offset) -> np.ndarray:
+    """Pitch-then-yaw-then-translate 4x4 (test_lightstage.py:24-45)."""
+    pitch = np.array(
+        [
+            [cos(theta), -sin(theta), 0, 0],
+            [sin(theta), cos(theta), 0, 0],
+            [0, 0, 1, 0],
+            [0, 0, 0, 1],
+        ]
+    )
+    yaw = np.array(
+        [
+            [cos(phi), 0, -sin(phi), 0],
+            [0, 1, 0, 0],
+            [sin(phi), 0, cos(phi), 0],
+            [0, 0, 0, 1],
+        ]
+    )
+    translate = np.eye(4)
+    translate[:3, 3] = offset
+    return yaw @ pitch @ translate
+
+
+def build_lightstage(n_lights: int = 30, emission: float = 50.0) -> Scene:
+    """Object + n quads distributed on a golden-angle sphere shell."""
+    models = [(make_uv_sphere(0.35), rotate_mat(0, -0.4, (0, 0, 0)), None)]
+    # quad at y=-2 with its +y normal: after the pitch/yaw rotation it sits
+    # on a radius-2 shell facing the object at the origin
+    quad = make_quad(0.18, y=-2.0)
+    for i in range(n_lights):
+        theta = acos((i + 0.5) / n_lights * 2 - 1)
+        phi = pi * 2 * 0.618 * (i + 1)
+        models.append((quad, rotate_mat(theta, phi, (0.0, 0.0, 0.0)), emission))
+    return Scene(models, integrator="direct")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", action="store_true")
+    args = ap.parse_args()
+    n_lights = 10 if args.small else 30
+    res = (48, 48) if args.small else (512, 512)
+    spp = 16 if args.small else 256
+    iters = 20 if args.small else 200
+
+    scene = build_lightstage(n_lights)
+    scene.camera = Camera(
+        fov=50 / 180 * 3.1415926,
+        origin=float3(0, 0.5, 2),
+        target=float3(0, 0, 0),
+        up=float3(0.0, 1.0, 0.0),
+    )
+
+    key = jax.random.PRNGKey(5)
+    tex = 32 if args.small else 256
+    material_gt = jax.random.uniform(key, (tex, tex, 4), minval=0.2, maxval=0.8)
+
+    # GT views: one render per light pattern (update_lights switching,
+    # render.py:130-148 workflow)
+    patterns = []
+    n_pat = 4 if args.small else 8
+    rng = np.random.RandomState(0)
+    for p in range(n_pat):
+        on = rng.choice(n_lights, max(n_lights // 4, 1), replace=False)
+        em = [None] + [50.0 if i in on else None for i in range(n_lights)]
+        patterns.append(em)
+
+    targets = []
+    for p, em in enumerate(patterns):
+        scene.update_lights(em)
+        tgt = scene.render(material_gt, res=res, spp=spp, seed=p)
+        targets.append(tgt)
+        m = float(tgt[..., :3].mean())
+        print(f"pattern {p}: mean {m:.4f}")
+        assert m > 1e-4, "light pattern renders black — lights misconfigured"
+    targets = jnp.stack(targets)
+
+    # joint recovery across patterns
+    material = jnp.full((tex, tex, 4), 0.5, jnp.float32)
+    opt = optax.adam(2e-2)
+    opt_state = opt.init(material)
+    losses = []
+    for it in range(iters):
+        p = it % n_pat
+        scene.update_lights(patterns[p])
+
+        def loss_fn(m):
+            img = scene.render(m, res=res, spp=spp, seed=100 + it)
+            return jnp.sum((img - targets[p]) ** 2)
+
+        loss, g = jax.value_and_grad(loss_fn)(material)
+        updates, opt_state = opt.update(g, opt_state)
+        material = optax.apply_updates(material, updates)
+        material = jnp.clip(material, 1e-3, 1.0)
+        losses.append(float(loss))
+        if it % max(iters // 10, 1) == 0:
+            print(f"iter {it:3d} pattern {p} loss {float(loss):.6f}")
+
+    err = float(jnp.abs(material - material_gt).mean())
+    first = float(np.mean(losses[:n_pat]))
+    last = float(np.mean(losses[-n_pat:]))
+    print(f"loss {first:.4f} -> {last:.4f}  mean |tex err| {err:.4f}")
+    return {"loss_first": first, "loss_last": last, "tex_err": err}
+
+
+if __name__ == "__main__":
+    main()

@@ -92,3 +92,85 @@ class TestLCG:
         a, _ = make_sampler("lcg", pixel, 0, 8, 0).next1()
         b, _ = make_sampler("lcg", pixel, 1, 8, 0).next1()
         assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
+class TestPMJ02BN:
+    def _sampler(self, n=4096, seed=7, spp=64, si=3):
+        pixel = jnp.stack(
+            [jnp.arange(n, dtype=jnp.int32) % 64, jnp.arange(n, dtype=jnp.int32) // 64],
+            axis=-1,
+        )
+        return make_sampler("pmj02bn", pixel, seed, spp, si)
+
+    def test_uniform_and_range(self):
+        s = self._sampler()
+        u2, s = s.next2()
+        u1, s = s.next1()
+        u = np.asarray(jnp.concatenate([u2, u1[:, None]], -1))
+        assert u.min() >= 0.0 and u.max() < 1.0
+        for d in range(3):
+            assert chi2_uniform(u[:, d]) < 3.0, d
+
+    def test_stratification_beats_random(self):
+        """The whole point of pmj02: per-pixel spp-sample sets are
+        stratified. Star-discrepancy proxy: 2D samples of one pixel across
+        sample_index should cover the sqrt(spp) grid."""
+        spp = 64
+        pixel = jnp.tile(jnp.array([[13, 27]], jnp.int32), (spp, 1))
+        s = make_sampler(
+            "pmj02bn", pixel, 5, spp, jnp.arange(spp, dtype=jnp.int32)
+        )
+        u, _ = s.next2()
+        u = np.asarray(u)
+        g = 8  # sqrt(64)
+        cells = set(zip((u[:, 0] * g).astype(int), (u[:, 1] * g).astype(int)))
+        # the per-pixel blue-noise Cranley-Patterson rotation toroidally
+        # shifts the (0,2) set, so only the two wrap seams can double up:
+        # coverage stays >= spp - 2*sqrt(spp), far above random (~40.5)
+        assert len(cells) >= spp - 2 * g
+        # and well above iid-random expectation
+        rng = np.random.RandomState(0)
+        r = rng.rand(spp, 2)
+        rand_cells = set(zip((r[:, 0] * g).astype(int), (r[:, 1] * g).astype(int)))
+        assert len(cells) > len(rand_cells)
+
+    def test_deterministic(self):
+        a, _ = self._sampler().next2()
+        b, _ = self._sampler().next2()
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_pixel_anticorrelation(self):
+        """Blue-noise Cranley-Patterson offsets make *negative* neighbor
+        correlation (that is the point of the 'bn' in pmj02bn) — assert no
+        positive correlation and a sane magnitude."""
+        s = self._sampler()
+        u, _ = s.next2()
+        u = np.asarray(u)
+        c = np.corrcoef(u[:-1, 0], u[1:, 0])[0, 1]
+        assert c < 0.05 and abs(c) < 0.5, c
+
+
+class TestCorrMJ:
+    def test_uniform_and_range(self):
+        n = 8192
+        pixel = jnp.stack(
+            [jnp.arange(n, dtype=jnp.int32) % 64, jnp.arange(n, dtype=jnp.int32) // 64],
+            axis=-1,
+        )
+        s = make_sampler("corrmj", pixel, 3, 16, 2)
+        u2, s = s.next2()
+        u1, s = s.next1()
+        u = np.asarray(jnp.concatenate([u2, u1[:, None]], -1))
+        assert u.min() >= 0.0 and u.max() < 1.0
+        for d in range(3):
+            assert chi2_uniform(u[:, d]) < 3.0, d
+
+    def test_multijitter_stratification(self):
+        spp = 16
+        pixel = jnp.tile(jnp.array([[3, 9]], jnp.int32), (spp, 1))
+        s = make_sampler("corrmj", pixel, 11, spp, jnp.arange(spp, dtype=jnp.int32))
+        u, _ = s.next2()
+        u = np.asarray(u)
+        g = 4
+        cells = set(zip((u[:, 0] * g).astype(int), (u[:, 1] * g).astype(int)))
+        assert len(cells) == spp

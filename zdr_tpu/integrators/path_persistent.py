@@ -1,0 +1,275 @@
+"""Persistent-lane path tracing forward pass.
+
+The scan-based forward (path.py) pays max_depth iterations per spp sample
+even though Russian roulette kills most paths after 2-4 bounces: with a
+262k-lane batch some lane always survives to depth 16, so masked lanes burn
+>2/3 of the VPU. This module is the TPU analog of a GPU persistent-threads
+megakernel: one `lax.while_loop` where every lane always has live work —
+when a lane's path terminates, its radiance is committed and the SAME
+iteration restarts the lane on its pixel's next spp sample (fresh primary
+ray + fresh per-(pixel,seed,spp,sample) sampler stream, so results are
+IDENTICAL to the per-sample version — verified in tests). Total iterations
+~ spp * E[path length] instead of spp * max_depth (~5x fewer for the
+Cornell box).
+
+Used by the render wrapper for the 'path' integrator's forward; the PRB
+backward keeps the two-walk structure (see path.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..camera import generate_ray, tent_warp
+from ..samplers import make_sampler
+from ..scenedata import SceneData
+from .path import _apply_rr, _walk_one_bounce, max_depth
+from .wrapper import RADIANCE_CLAMP
+
+
+def _start_sample(coords, camera, seed, spp, sample_idx, res, use_tent, kind):
+    """Fresh sampler + primary ray for (pixel, seed, spp, sample_idx)."""
+    w, h = res
+    sampler = make_sampler(kind, coords, seed, spp, sample_idx)
+    u2, sampler = sampler.next2()
+    offset = tent_warp(u2, 1.0) + 0.5 if use_tent else u2
+    resf = jnp.array([w, h], jnp.float32)
+    pixel = (2.0 / resf * (coords.astype(jnp.float32) + offset) - 1.0) * jnp.array(
+        [1.0, h / w], jnp.float32
+    )
+    o, d = generate_ray(camera, pixel)
+    return sampler, o, d
+
+
+def render_path_persistent(
+    data: SceneData, material, camera, seed, cfg, coords
+) -> jnp.ndarray:
+    """spp-averaged path-traced radiance for a pixel batch -> (M, 3)."""
+    N = coords.shape[0]
+    spp = cfg.spp
+
+    sampler0, o0, d0 = _start_sample(
+        coords, camera, seed, spp, jnp.zeros((N,), jnp.int32), cfg.res,
+        cfg.use_tent_filter, cfg.sampler,
+    )
+
+    # state: (sample_idx, acc, cur, beta, pdf_prev, o, d, sampler, depth, iter)
+    init = (
+        jnp.zeros((N,), jnp.int32),  # sample_idx
+        jnp.zeros((N, 3), jnp.float32),  # acc (committed samples)
+        jnp.zeros((N, 3), jnp.float32),  # cur (in-flight path)
+        jnp.ones((N, 3), jnp.float32),  # beta
+        jnp.full((N,), 1e30, jnp.float32),  # pdf_prev
+        o0,
+        d0,
+        sampler0,
+        jnp.zeros((N,), jnp.int32),  # per-lane depth
+        jnp.zeros((), jnp.int32),  # global iteration counter (safety bound)
+    )
+
+    max_iters = spp * max_depth + max_depth
+
+    def cond(s):
+        sample_idx = s[0]
+        return jnp.any(sample_idx < spp) & (s[9] < max_iters)
+
+    def body(s):
+        sample_idx, acc, cur, beta, pdf_prev, o, d, smp, depth, it = s
+        lane_live = sample_idx < spp
+
+        v, smp = _walk_one_bounce(data, material, o, d, pdf_prev, lane_live, smp)
+        cur = cur + beta * v.add_emit
+        nee = v.bsdf_nee * v.nee_weight[..., None] * v.nee_light_eval
+        cur = cur + jnp.where(v.nee_ok[..., None], beta * nee, 0.0)
+
+        beta_next = beta * v.bsdf_bounce / jnp.maximum(v.pdf_bounce, 1e-9)[..., None]
+        path_alive, rr = _apply_rr(depth, beta_next, v.active, v.rr_scale)
+        path_alive = path_alive & (depth + 1 < max_depth)
+        beta_next = beta_next * rr[..., None]
+
+        # terminated paths: commit the sample (NaN guard + clamp,
+        # integrator.py:27-28) and restart the lane on its next sample
+        terminated = lane_live & ~path_alive
+        good = ~jnp.any(jnp.isnan(cur), axis=-1, keepdims=True)
+        committed = jnp.where(good, jnp.clip(cur, 0.0, RADIANCE_CLAMP), 0.0)
+        acc = acc + jnp.where(terminated[..., None], committed, 0.0)
+        sample_idx = sample_idx + terminated.astype(jnp.int32)
+
+        new_smp, new_o, new_d = _start_sample(
+            coords, camera, seed, spp, sample_idx, cfg.res, cfg.use_tent_filter,
+            cfg.sampler,
+        )
+        restart = terminated & (sample_idx < spp)
+
+        def sel(a, b):  # where(restart, a, b) with broadcasting
+            r = restart.reshape(restart.shape + (1,) * (a.ndim - 1))
+            return jnp.where(r, a, b)
+
+        cont = path_alive
+        o = sel(new_o, jnp.where(cont[..., None], v.next_o, o))
+        d = sel(new_d, jnp.where(cont[..., None], v.next_d, d))
+        smp = jax.tree.map(sel, new_smp, smp)
+        cur = jnp.where(terminated[..., None], 0.0, cur)
+        beta = jnp.where(
+            terminated[..., None], 1.0, jnp.where(cont[..., None], beta_next, beta)
+        )
+        pdf_prev = jnp.where(terminated, 1e30, jnp.where(cont, v.pdf_bounce, pdf_prev))
+        depth = jnp.where(terminated, 0, depth + 1)
+
+        return (sample_idx, acc, cur, beta, pdf_prev, o, d, smp, depth, it + 1)
+
+    out = jax.lax.while_loop(cond, body, init)
+    acc = out[1]
+    return acc / spp
+
+
+def render_path_backward_persistent(
+    data: SceneData, material, camera, seed, cfg, coords, le_grad
+) -> jnp.ndarray:
+    """Persistent-lane PRB gradient walk -> d_material (H, W, 4).
+
+    Each lane cycles through: phase 0 (Le replay walk) -> phase 1 (gradient
+    walk with the identical sampler stream, subtracting local terms from the
+    remaining-path radiance and injecting BRDF adjoints) -> next sample.
+    Per-sample math matches path.path_backward exactly; only the order of
+    scatter-adds differs (both deterministic)."""
+    from .path import SPECULAR
+    from ..microfacet import ggx_brdf
+    from ..texture import write_bsdf_grad
+
+    N = coords.shape[0]
+    spp = cfg.spp
+    sg = jax.lax.stop_gradient
+    material = sg(material)
+
+    sampler0, o0, d0 = _start_sample(
+        coords, camera, seed, spp, jnp.zeros((N,), jnp.int32), cfg.res,
+        cfg.use_tent_filter, cfg.sampler,
+    )
+
+    init = dict(
+        sample_idx=jnp.zeros((N,), jnp.int32),
+        phase=jnp.zeros((N,), jnp.int32),  # 0 = Le walk, 1 = grad walk
+        depth=jnp.zeros((N,), jnp.int32),
+        o=o0,
+        d=d0,
+        beta=jnp.ones((N, 3), jnp.float32),
+        pdf_prev=jnp.full((N,), 1e30, jnp.float32),
+        smp=sampler0,
+        cur=jnp.zeros((N, 3), jnp.float32),  # phase-0 Le accumulator
+        le_rem=jnp.zeros((N, 3), jnp.float32),  # phase-1 remaining radiance
+        gok=jnp.ones((N,), bool),  # gradient enabled (False if Le was NaN)
+        d_mat=jnp.zeros_like(material),
+        it=jnp.zeros((), jnp.int32),
+    )
+
+    max_iters = 2 * spp * max_depth + 2 * max_depth
+
+    def cond(s):
+        return jnp.any(s["sample_idx"] < spp) & (s["it"] < max_iters)
+
+    def body(s):
+        lane_live = s["sample_idx"] < spp
+        in_grad = lane_live & (s["phase"] == 1)
+        beta = s["beta"]
+
+        v, smp = _walk_one_bounce(
+            data, material, s["o"], s["d"], s["pdf_prev"], lane_live, s["smp"]
+        )
+
+        # ---- phase 0: accumulate Le
+        cur = s["cur"] + jnp.where(
+            (s["phase"] == 0)[..., None], beta * v.add_emit, 0.0
+        )
+        nee_full_w = v.nee_weight[..., None] * v.nee_light_eval
+        nee_contrib = beta * v.bsdf_nee * nee_full_w
+        cur = cur + jnp.where(
+            ((s["phase"] == 0) & v.nee_ok)[..., None], nee_contrib, 0.0
+        )
+
+        # ---- phase 1: subtract local terms, inject adjoints
+        le_rem = s["le_rem"] - jnp.where(
+            in_grad[..., None], beta * v.add_emit, 0.0
+        )
+        le_rem = le_rem - jnp.where(
+            (in_grad & v.nee_ok)[..., None], nee_contrib, 0.0
+        )
+
+        def shade(mat4):
+            dif = mat4[..., :3]
+            rgh = mat4[..., 3]
+            b_nee = ggx_brdf(v.wo_local, v.wi_nee_local, dif, SPECULAR, rgh)
+            b_bounce = ggx_brdf(v.wo_local, v.wi_bounce_local, dif, SPECULAR, rgh)
+            return b_nee, b_bounce
+
+        (_, _), vjp = jax.vjp(shade, v.mat)
+        gok = s["gok"]
+        ct_nee = jnp.where(
+            (in_grad & v.nee_ok & gok)[..., None], beta * nee_full_w * le_grad, 0.0
+        )
+        inv_pdf = 1.0 / jnp.maximum(v.pdf_bounce, 1e-9)
+        ct_bounce = jnp.where(
+            (in_grad & v.active & gok)[..., None],
+            beta * inv_pdf[..., None] * le_rem * le_grad,
+            0.0,
+        )
+        (mat_grad,) = vjp((ct_nee, ct_bounce))
+        mat_grad = jnp.where(jnp.isnan(mat_grad), 0.0, mat_grad)
+        d_mat = write_bsdf_grad(
+            v.uv,
+            jnp.where((in_grad & (v.nee_ok | v.active))[..., None], mat_grad, 0.0),
+            s["d_mat"],
+        )
+
+        # ---- continuation / termination
+        beta_next = beta * v.bsdf_bounce * inv_pdf[..., None]
+        path_alive, rr = _apply_rr(s["depth"], beta_next, v.active, v.rr_scale)
+        path_alive = path_alive & (s["depth"] + 1 < max_depth)
+        beta_next = beta_next * rr[..., None]
+        terminated = lane_live & ~path_alive
+
+        # phase transitions
+        end_le = terminated & (s["phase"] == 0)
+        end_grad = terminated & (s["phase"] == 1)
+        le_ok = ~jnp.any(jnp.isnan(cur), axis=-1, keepdims=True)
+        new_le = jnp.where(le_ok, cur, 0.0)
+
+        sample_idx = s["sample_idx"] + end_grad.astype(jnp.int32)
+        phase = jnp.where(end_le, 1, jnp.where(end_grad, 0, s["phase"]))
+
+        # restart stream: phase-1 start replays the SAME sample's stream;
+        # phase-0 start uses the next sample's stream
+        new_smp, new_o, new_d = _start_sample(
+            coords, camera, seed, spp, sample_idx, cfg.res, cfg.use_tent_filter,
+            cfg.sampler,
+        )
+        restart = terminated & (sample_idx < spp)
+
+        def sel(a, b):
+            r = restart.reshape(restart.shape + (1,) * (a.ndim - 1))
+            return jnp.where(r, a, b)
+
+        cont = path_alive
+        o = sel(new_o, jnp.where(cont[..., None], v.next_o, s["o"]))
+        d = sel(new_d, jnp.where(cont[..., None], v.next_d, s["d"]))
+        smp = jax.tree.map(sel, new_smp, smp)
+        cur = jnp.where(terminated[..., None], 0.0, cur)
+        le_rem = jnp.where(end_le[..., None], new_le, le_rem)
+        gok = jnp.where(end_le, le_ok[..., 0], gok)
+        beta = jnp.where(
+            terminated[..., None], 1.0, jnp.where(cont[..., None], beta_next, beta)
+        )
+        pdf_prev = jnp.where(
+            terminated, 1e30, jnp.where(cont, v.pdf_bounce, s["pdf_prev"])
+        )
+        depth = jnp.where(terminated, 0, s["depth"] + 1)
+
+        return dict(
+            sample_idx=sample_idx, phase=phase, depth=depth, o=o, d=d,
+            beta=beta, pdf_prev=pdf_prev, smp=smp, cur=cur, le_rem=le_rem,
+            gok=gok, d_mat=d_mat, it=s["it"] + 1,
+        )
+
+    out = jax.lax.while_loop(cond, body, init)
+    return out["d_mat"]

@@ -43,6 +43,9 @@ class RenderConfig:
     # spp folded into each scan step; raise to amortize fixed costs when
     # rays-per-pass is small, lower to bound memory.
     spp_per_pass: int = 1
+    # path integrator: persistent-lane forward (dead paths immediately
+    # restart on the lane's next spp sample — see path_persistent.py)
+    persistent: bool = True
 
 
 def _pixel_grid(res: Tuple[int, int]) -> jnp.ndarray:
@@ -81,6 +84,10 @@ def render_forward_rays(
 
     This is the shardable unit: devices each take a slice of the pixel grid
     (see zdr_tpu.parallel)."""
+    if cfg.integrator == "path" and cfg.persistent:
+        from .path_persistent import render_path_persistent
+
+        return render_path_persistent(data, material, camera, seed, cfg, coords)
 
     def one_sample(acc, it):
         sampler = make_sampler(cfg.sampler, coords, seed, cfg.spp, it)
@@ -127,6 +134,12 @@ def render_grad_rays(
     coords: jnp.ndarray,
 ) -> jnp.ndarray:
     """d_material for one pixel-coord batch given per-sample adjoints (M,3)."""
+    if cfg.integrator == "path" and cfg.persistent:
+        from .path_persistent import render_path_backward_persistent
+
+        return render_path_backward_persistent(
+            data, material, camera, seed, cfg, coords, le_grad
+        )
 
     def one_sample(d_mat, it):
         sampler = make_sampler(cfg.sampler, coords, seed, cfg.spp, it)

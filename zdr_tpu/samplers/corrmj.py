@@ -1,0 +1,104 @@
+"""Correlated multi-jitter sampler (Kensler CMJ).
+
+Reference behavior: /root/reference/corrmj.py. 1D draws are permuted
+stratified values + LCG jitter; 2D draws are multi-jittered points on an
+r x r grid (r = floor(sqrt(spp + 0.4))) with shuffled row/column strata.
+All uint32, per-lane state.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax.numpy as jnp
+
+from .hashes import (
+    ONE_MINUS_EPSILON,
+    U32,
+    lcg_step,
+    lcg_to_unit_float,
+    permutation_element,
+    u32,
+    xxhash32_4,
+)
+
+
+def _pow2_mask(x: jnp.ndarray) -> jnp.ndarray:
+    m = x - U32(1)
+    for s in (1, 2, 4, 8, 16):
+        m = m | (m >> U32(s))
+    return m
+
+
+class CorrMJSampler(NamedTuple):
+    sample_index: jnp.ndarray  # (N,) uint32
+    dimension: jnp.ndarray  # (N,) uint32
+    permutation_seed: jnp.ndarray  # (N,) uint32
+    state: jnp.ndarray  # (N,) uint32 LCG jitter stream
+    spp: jnp.ndarray  # (N,) uint32
+    w: jnp.ndarray  # (N,) uint32
+    res: jnp.ndarray  # (N,) uint32 grid side
+    resw: jnp.ndarray  # (N,) uint32
+
+    def next1(self) -> Tuple[jnp.ndarray, "CorrMJSampler"]:
+        ps = self.permutation_seed + self.dimension
+        index = permutation_element(
+            self.sample_index,
+            self.spp,
+            self.w,
+            (ps * U32(0x45FBE943)) & U32(0x70FFFFFF),
+        )
+        state = lcg_step(self.state)
+        delta = lcg_to_unit_float(state)
+        u = (index.astype(jnp.float32) + delta) / self.spp.astype(jnp.float32)
+        u = jnp.clip(u, 0.0, ONE_MINUS_EPSILON)
+        return u, self._replace(dimension=self.dimension + U32(1), state=state)
+
+    def next2(self) -> Tuple[jnp.ndarray, "CorrMJSampler"]:
+        ps = self.permutation_seed + self.dimension
+        index = permutation_element(
+            self.sample_index,
+            self.spp,
+            self.w,
+            (ps * U32(0x51633E2D)) & U32(0x70FFFFFF),
+        )
+        res = self.res
+        y = index // res
+        x = index % res
+        sx = permutation_element(
+            x, res, self.resw, (ps * U32(0x68BC21EB)) & U32(0x70FFFFFF)
+        )
+        sy = permutation_element(
+            y, res, self.resw, (ps * U32(0x02E5BE93)) & U32(0x70FFFFFF)
+        )
+        s1 = lcg_step(self.state)
+        dx = lcg_to_unit_float(s1)
+        s2 = lcg_step(s1)
+        dy = lcg_to_unit_float(s2)
+        resf = res.astype(jnp.float32)
+        ux = (x.astype(jnp.float32) + (sy.astype(jnp.float32) + dx) / resf) / resf
+        uy = (y.astype(jnp.float32) + (sx.astype(jnp.float32) + dy) / resf) / resf
+        u = jnp.stack([ux, uy], axis=-1)
+        u = jnp.clip(u, 0.0, ONE_MINUS_EPSILON)
+        return u, self._replace(dimension=self.dimension + U32(2), state=s2)
+
+
+def make_corrmj_sampler(pixel, seed, spp: int, sample_index) -> CorrMJSampler:
+    n = pixel.shape[0]
+    spp_a = jnp.broadcast_to(u32(spp), (n,))
+    w = _pow2_mask(spp_a)
+    res = jnp.sqrt(spp_a.astype(jnp.float32) + 0.4).astype(jnp.uint32)
+    res = jnp.maximum(res, U32(1))
+    resw = _pow2_mask(res)
+    seed_a = jnp.broadcast_to(u32(seed), (n,))
+    si = jnp.broadcast_to(u32(sample_index), (n,))
+    return CorrMJSampler(
+        sample_index=si,
+        dimension=jnp.zeros((n,), jnp.uint32),
+        permutation_seed=xxhash32_4(pixel[..., 0], pixel[..., 1], seed_a, U32(0)),
+        state=xxhash32_4(pixel[..., 0], pixel[..., 1], seed_a, si),
+        spp=spp_a,
+        w=w,
+        res=res,
+        resw=resw,
+    )
