@@ -117,3 +117,37 @@ class TestBVH:
 
         t = f(o, d)
         assert np.isfinite(np.asarray(t)).any()
+
+
+class TestNativeBVH:
+    def test_native_builder_available(self):
+        from zdr_tpu.accel.native import native_available
+
+        assert native_available(), "g++ toolchain should build the native BVH"
+
+    def test_native_matches_bruteforce(self):
+        from zdr_tpu.accel.bvh import LEAF_SIZE
+        from zdr_tpu.accel.native import build_bvh_native
+
+        geom = sphere_geom(n_lat=32, n_lon=64)
+        tris = np.asarray(geom.triangles)
+        pos = np.asarray(geom.positions)
+        b = build_bvh_native(pos[tris[:, 0]], pos[tris[:, 1]], pos[tris[:, 2]], LEAF_SIZE)
+        assert b is not None
+        # structural sanity
+        assert b.node_is_leaf.any()
+        real = b.tri_perm[b.tri_perm >= 0]
+        assert sorted(real.tolist()) == list(range(tris.shape[0]))
+        # every leaf owns exactly LEAF_SIZE slots
+        assert len(b.tri_perm) % LEAF_SIZE == 0
+        # traversal agreement vs brute force (native build is the default
+        # 'bvh' path in build_accel)
+        brute = build_accel(geom, method="bruteforce")
+        bvh = build_accel(geom, method="bvh")
+        o, d = random_rays(2048, key=7)
+        h1 = trace_closest(brute, o, d)
+        h2 = trace_closest(bvh, o, d)
+        np.testing.assert_array_equal(np.asarray(h1.miss), np.asarray(h2.miss))
+        ok = ~np.asarray(h1.miss)
+        np.testing.assert_allclose(np.asarray(h1.t)[ok], np.asarray(h2.t)[ok], rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(h1.prim)[ok], np.asarray(h2.prim)[ok])

@@ -59,7 +59,12 @@ def build_accel(geom: Geometry, method: str = "auto", chunk: int = 0) -> Accel:
         )
 
     if method == "bvh":
-        b = build_bvh(v0, v1, v2)
+        from .bvh import LEAF_SIZE
+        from .native import build_bvh_native
+
+        b = build_bvh_native(v0, v1, v2, LEAF_SIZE)
+        if b is None:  # toolchain unavailable: python median-split fallback
+            b = build_bvh(v0, v1, v2)
         perm = b.tri_perm  # (T_padded,) global ids, -1 pads
         safe = np.maximum(perm, 0)
         p0 = np.where(perm[:, None] >= 0, v0[safe], 0.0).astype(np.float32)
