@@ -1,8 +1,9 @@
-"""Light sampling: uniform pick among envmap + mesh area lights, and the
-matching pdf for MIS (reference: /root/reference/light.py).
+"""Light sampling: uniform pick among envmap + point + mesh area lights, and
+the matching pdf for MIS (reference: /root/reference/light.py).
 
 Point lights exist in the reference only as a stubbed, count-0 module array
-(light.py:5-7); kept out here until they do something.
+(light.py:5-7, with a sampling branch at :32-44); here the stub is completed
+as real SceneData state (Scene.add_point_light).
 
 Batched with masked branches: every lane draws the same, fixed set of sampler
 dimensions regardless of which light type it picks (u_select, u_prim, u2) —
@@ -28,12 +29,17 @@ class LightSample(NamedTuple):
     eval: jnp.ndarray  # (N, 3) radiance
 
 
+def _n_lights(data: SceneData) -> jnp.ndarray:
+    return jnp.maximum(
+        data.env_count + data.point_count + data.light_count, 1
+    ).astype(jnp.float32)
+
+
 def light_selection_pdf(data: SceneData) -> jnp.ndarray:
-    """Probability of picking any one light source (1/(env+mesh), see the
-    deviation note in sample_light_pdf). Multiply env_sampled_light_pdf by
-    this at the miss-MIS sites."""
-    n = jnp.maximum(data.env_count + data.light_count, 1).astype(jnp.float32)
-    return 1.0 / n
+    """Probability of picking any one light source (1/(env+point+mesh), see
+    the deviation note in sample_light_pdf). Multiply env_sampled_light_pdf
+    by this at the miss-MIS sites."""
+    return 1.0 / _n_lights(data)
 
 
 def sample_uniform_triangle(u: jnp.ndarray) -> jnp.ndarray:
@@ -61,12 +67,24 @@ def sample_light(
     u_prim, sampler = sampler.next1()
     u2, sampler = sampler.next2()
 
-    n_i = data.env_count + data.light_count
+    n_i = data.env_count + data.point_count + data.light_count
     n = jnp.maximum(n_i, 1).astype(jnp.float32)
     idx = jnp.clip((u_sel * n).astype(jnp.int32), 0, jnp.maximum(n_i - 1, 0))
 
+    # ---- point light branch (reference stub completed, light.py:32-44)
+    p_idx = jnp.clip(idx - data.env_count, 0, data.point_pos.shape[0] - 1)
+    pp = data.point_pos[p_idx]
+    p_delta = pp - origin
+    p_sqr = length_squared(p_delta)
+    p_wi = normalize(p_delta)
+    p_pdf = p_sqr / n
+    p_dist = 0.9999 * jnp.sqrt(p_sqr)
+    p_eval = data.point_intensity[p_idx]
+
     # ---- mesh area light branch
-    mesh_idx = jnp.clip(idx - data.env_count, 0, data.light_insts.shape[0] - 1)
+    mesh_idx = jnp.clip(
+        idx - data.env_count - data.point_count, 0, data.light_insts.shape[0] - 1
+    )
     inst = data.light_insts[mesh_idx]
     tc = data.geom.inst_tri_count[inst]
     prim_local = jnp.clip((u_prim * tc).astype(jnp.int32), 0, jnp.maximum(tc - 1, 0))
@@ -86,6 +104,12 @@ def sample_light(
     )
     eval_mesh = jnp.where((cos_light > 1e-4)[..., None], emission, 0.0)
     dist_mesh = 0.9999 * jnp.sqrt(sqr_dist)
+
+    is_point = (idx >= data.env_count) & (idx < data.env_count + data.point_count)
+    wi = jnp.where(is_point[..., None], p_wi, wi)
+    dist_mesh = jnp.where(is_point, p_dist, dist_mesh)
+    pdf_mesh = jnp.where(is_point, p_pdf, pdf_mesh)
+    eval_mesh = jnp.where(is_point[..., None], p_eval, eval_mesh)
 
     if data.has_env:
         env_wi, env_dist, env_pdf, env_rad = sample_envmap(data.env, u2)
@@ -118,8 +142,8 @@ def sample_light_pdf(
     n = mesh_count here but by n = env+mesh in sample_light (light.py:26,89),
     and never scales the env pdf by the selection probability — inconsistent
     when env and mesh lights coexist (its test scenes never mix them). Here
-    selection is uniformly 1/(env_count+light_count) everywhere."""
-    n = jnp.maximum(data.env_count + data.light_count, 1).astype(jnp.float32)
+    selection is uniformly 1/(env+point+mesh) everywhere."""
+    n = _n_lights(data)
     tc = data.geom.inst_tri_count[jnp.maximum(inst, 0)]
     p0, p1, p2 = _mesh_light_geometry(data, jnp.maximum(prim, 0))
     wi = normalize(p - origin)

@@ -114,6 +114,30 @@ class Scene:
             light_count=jnp.asarray(len(light_insts), jnp.int32),
         )
 
+    def add_point_light(self, position, intensity) -> None:
+        """Add a point light (completes the reference's stub, light.py:5-7).
+
+        Args:
+            position: world-space (3,).
+            intensity: radiant intensity (3,) or scalar.
+        """
+        pos = np.asarray(position, np.float32).reshape(1, 3)
+        inten = _normalize_emission(intensity).reshape(1, 3)
+        count = int(self._data.point_count)
+        if count == 0:
+            new_pos, new_int = pos, inten
+        else:
+            new_pos = np.concatenate([np.asarray(self._data.point_pos)[:count], pos])
+            new_int = np.concatenate(
+                [np.asarray(self._data.point_intensity)[:count], inten]
+            )
+        self._data = dataclasses.replace(
+            self._data,
+            point_pos=jnp.asarray(new_pos),
+            point_intensity=jnp.asarray(new_int),
+            point_count=jnp.asarray(count + 1, jnp.int32),
+        )
+
     def add_envmap(self, img, compensate_mis: bool = True) -> None:
         """Attach an equirect environment light (render.py:150-156).
 

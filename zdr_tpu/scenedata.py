@@ -30,4 +30,16 @@ class SceneData:
     light_count: jnp.ndarray  # () int32
     env_count: jnp.ndarray  # () int32 (0 or 1)
     env: EnvMap
+    # point lights — completed from the reference's stub (light.py:5-7 has a
+    # module array with point_light_count = 0); (P, 3) arrays, P >= 1 with a
+    # traced count so adding/removing lights never recompiles
+    point_pos: jnp.ndarray = dataclasses.field(
+        default_factory=lambda: jnp.zeros((1, 3), jnp.float32)
+    )
+    point_intensity: jnp.ndarray = dataclasses.field(
+        default_factory=lambda: jnp.zeros((1, 3), jnp.float32)
+    )
+    point_count: jnp.ndarray = dataclasses.field(
+        default_factory=lambda: jnp.zeros((), jnp.int32)
+    )
     has_env: bool = dataclasses.field(metadata=dict(static=True), default=False)
