@@ -83,8 +83,8 @@ class TestCheckpoint:
         uninterrupted run."""
         opt = optax.adam(1e-2)
 
-        def run(n, material, state):
-            for i in range(n):
+        def run(n, material, state, start=0):
+            for i in range(start, start + n):
                 g = jnp.sin(material * (i + 1))  # deterministic pseudo-grads
                 up, state = opt.update(g, state)
                 material = optax.apply_updates(material, up)
@@ -98,5 +98,5 @@ class TestCheckpoint:
         path = str(tmp_path / "c.npz")
         save_checkpoint(path, m3, s3, step=3)
         m3r, s3r, step, _ = load_checkpoint(path, opt.init(m0))
-        m_resumed, _ = run(3, m3r, s3r)
+        m_resumed, _ = run(3, m3r, s3r, start=step)
         np.testing.assert_allclose(np.asarray(m_resumed), np.asarray(m_full), atol=1e-7)
