@@ -151,3 +151,49 @@ class TestNativeBVH:
         ok = ~np.asarray(h1.miss)
         np.testing.assert_allclose(np.asarray(h1.t)[ok], np.asarray(h2.t)[ok], rtol=1e-5, atol=1e-5)
         np.testing.assert_array_equal(np.asarray(h1.prim)[ok], np.asarray(h2.prim)[ok])
+
+
+class TestPallasTrace:
+    """Pallas kernel runs in interpret mode on CPU; compiled on TPU."""
+
+    def test_matches_bruteforce(self):
+        geom = sphere_geom(n_lat=16, n_lon=32)
+        brute = build_accel(geom, method="bruteforce")
+        pallas = build_accel(geom, method="pallas")
+        o, d = random_rays(1000, key=11)
+        h1 = trace_closest(brute, o, d)
+        h2 = trace_closest(pallas, o, d)
+        np.testing.assert_array_equal(np.asarray(h1.miss), np.asarray(h2.miss))
+        ok = ~np.asarray(h1.miss)
+        np.testing.assert_allclose(np.asarray(h1.t)[ok], np.asarray(h2.t)[ok], rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(h1.prim)[ok], np.asarray(h2.prim)[ok])
+        occ1 = trace_any(brute, o, d, t_min=1e-4, t_max=1e30)
+        occ2 = trace_any(pallas, o, d, t_min=1e-4, t_max=1e30)
+        np.testing.assert_array_equal(np.asarray(occ1), np.asarray(occ2))
+
+    def test_full_render_and_grad(self):
+        import jax.numpy as jnp
+        from zdr_tpu import Camera, Scene, float3
+        from zdr_tpu.geometry.procedural import make_cornell_box, make_cornell_light
+
+        scenes = []
+        for accel_kind in ("pallas", "bruteforce"):
+            s = Scene(
+                [(make_cornell_box(), None, None), (make_cornell_light(), None, 15.0)],
+                integrator="path",
+                accel=accel_kind,
+            )
+            s.camera = __import__("zdr_tpu").Camera(
+                fov=0.9, origin=float3(-0.2, 2.6, -0.5), target=float3(-0.2, 2.6, -5.0)
+            )
+            scenes.append(s)
+        mat = jnp.full((16, 16, 4), 0.5)
+        imgs = [np.asarray(s.render(mat, res=(16, 16), spp=4, seed=0)) for s in scenes]
+        np.testing.assert_allclose(imgs[0], imgs[1], atol=1e-5)
+        grads = [
+            np.asarray(
+                jax.grad(lambda m, s=s: jnp.sum(s.render(m, res=(16, 16), spp=4, seed=0)[..., :3]))(mat)
+            )
+            for s in scenes
+        ]
+        np.testing.assert_allclose(grads[0], grads[1], rtol=1e-4, atol=1e-4)

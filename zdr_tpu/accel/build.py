@@ -42,7 +42,7 @@ def build_accel(geom: Geometry, method: str = "auto", chunk: int = 0) -> Accel:
     dummy1i = jnp.zeros((1,), jnp.int32)
     dummy1b = jnp.zeros((1,), bool)
 
-    if method == "bruteforce":
+    if method in ("bruteforce", "pallas"):
         return Accel(
             p0=jnp.asarray(v0),
             e1=jnp.asarray(v1 - v0),
@@ -54,7 +54,7 @@ def build_accel(geom: Geometry, method: str = "auto", chunk: int = 0) -> Accel:
             node_left=dummy1i,
             node_right=dummy1i,
             node_is_leaf=dummy1b,
-            method="bruteforce",
+            method=method,
             chunk=chunk,
         )
 

@@ -251,6 +251,12 @@ def trace_closest(accel: Accel, o: jnp.ndarray, d: jnp.ndarray, t_min=0.0, t_max
     d = jax.lax.stop_gradient(d)
     if accel.method == "bvh":
         best_t, prim, u, v = _bvh_loop(accel, o, d, t_min, t_max, True)
+    elif accel.method == "pallas":
+        from .pallas_trace import trace_closest_pallas
+
+        best_t, u, v, prim = trace_closest_pallas(
+            accel, o, d, t_min, t_max, interpret=jax.default_backend() == "cpu"
+        )
     else:
         best_t, prim, u, v = _brute_scan(accel, o, d, t_min, t_max, True)
     missed = prim < 0
@@ -272,4 +278,10 @@ def trace_any(accel: Accel, o: jnp.ndarray, d: jnp.ndarray, t_min=1e-4, t_max=1e
     t_max = jax.lax.stop_gradient(t_max)
     if accel.method == "bvh":
         return _bvh_loop(accel, o, d, t_min, t_max, False)
+    if accel.method == "pallas":
+        from .pallas_trace import trace_any_pallas
+
+        return trace_any_pallas(
+            accel, o, d, t_min, t_max, interpret=jax.default_backend() == "cpu"
+        )
     return _brute_scan(accel, o, d, t_min, t_max, False)
