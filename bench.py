@@ -4,13 +4,18 @@ The driver-defined north-star metric (BASELINE.json): Mrays/s for a full
 differentiable iteration (render + texture-gradient) on the path integrator.
 The reference publishes no numbers (BASELINE.md), so this establishes the
 baseline; `vs_baseline` is measured against the first value recorded in
-BASELINE.md ("ours_r1" below).
+BASELINE.md (BASELINE_MRAYS below).
 
 Ray accounting (documented, honest): the path_stats probe measures the
 average number of closest-hit and shadow traces per camera sample for this
-exact scene/sampler. Forward cost = closest + shadow per sample; PRB backward
-re-walks the path twice (Le replay + gradient walk), so backward ~= 2x
-forward. total_rays = res^2 * spp * (closest + shadow) * 3.
+exact scene/sampler. Forward cost = (closest + shadow) rays per sample; the
+PRB backward re-walks the path twice (Le replay + gradient walk), so a full
+iteration traces ~3x the forward rays:
+    total_rays = res^2 * spp * (closest + shadow) * 3.
+
+Note: on the axon remote-TPU platform, block_until_ready() does not actually
+synchronize — a host transfer (float()) is the only reliable fence, so all
+timing here round-trips a scalar.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -23,16 +28,15 @@ import jax.numpy as jnp
 
 RES = (512, 512)
 SPP = 64
-ITERS = 5
-# First measured value on this hardware, recorded in BASELINE.md. Update when
-# re-baselining.
-BASELINE_MRAYS = None  # set after first TPU run
+ITERS = 3
+# First value measured on this hardware (v5e-1 via axon, 2026-08-16),
+# recorded in BASELINE.md. Update when re-baselining.
+BASELINE_MRAYS = 8.4
 
 
 def main():
     from zdr_tpu import Camera, Scene, float3
     from zdr_tpu.geometry.procedural import make_cornell_box, make_cornell_light
-    from zdr_tpu.integrators import RenderConfig, get_integrator
     from zdr_tpu.integrators.path import path_stats
     from zdr_tpu.integrators.wrapper import _pixel_grid, _primary_rays
     from zdr_tpu.samplers import make_sampler
@@ -40,6 +44,7 @@ def main():
     scene = Scene(
         [(make_cornell_box(), None, None), (make_cornell_light(), None, 15.0)],
         integrator="path",
+        accel="pallas",
     )
     scene.camera = Camera(
         fov=50 / 180 * 3.1415926,
@@ -59,22 +64,20 @@ def main():
     rays_per_sample = float(n_closest) + float(n_shadow)
 
     # --- timed fwd+bwd iterations
-    @jax.jit
-    def step(m, seed):
-        def loss_fn(mm):
-            img = scene.render(mm, res=RES, spp=SPP, seed=seed)
-            return jnp.sum(img[..., :3])
+    def loss_fn(m, seed):
+        img = scene.render(m, res=RES, spp=SPP, seed=seed)
+        return jnp.sum(img[..., :3])
 
-        return jax.value_and_grad(loss_fn)(m)
+    step = jax.jit(jax.value_and_grad(loss_fn))
 
-    # warmup / compile
+    # warmup / compile (float() forces a real device sync through the tunnel)
     l, g = step(material, jnp.asarray(0, jnp.int32))
-    g.block_until_ready()
+    _ = float(g.sum())
 
     t0 = time.perf_counter()
     for i in range(ITERS):
         l, g = step(material, jnp.asarray(i + 1, jnp.int32))
-    g.block_until_ready()
+    _ = float(g.sum())
     dt = (time.perf_counter() - t0) / ITERS
 
     n_samples = RES[0] * RES[1] * SPP

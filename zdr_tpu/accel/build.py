@@ -30,7 +30,14 @@ def build_accel(geom: Geometry, method: str = "auto", chunk: int = 0) -> Accel:
     T = tris.shape[0]
 
     if method == "auto":
-        method = "bvh" if T > AUTO_BVH_THRESHOLD else "bruteforce"
+        if T > AUTO_BVH_THRESHOLD:
+            method = "bvh"
+        else:
+            # dense sweep: pallas kernel on real accelerators (1.5x+ the jnp
+            # brute force, measured); jnp on CPU (pallas interpret is slow)
+            import jax
+
+            method = "bruteforce" if jax.default_backend() == "cpu" else "pallas"
 
     if chunk <= 0:
         # Small chunks keep the (N_rays, chunk) intermediates fused in VMEM

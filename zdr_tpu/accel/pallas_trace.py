@@ -26,7 +26,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
 SUBLANES = 8
-BLOCK_ROWS = 32  # rows of 128 lanes per grid step (4096 rays)
+BLOCK_ROWS = 256  # rows of 128 lanes per grid step (32768 rays)
+UNROLL_LIMIT = 0  # unrolling measured slower than fori_loop (register pressure)
 
 _BIG = jnp.float32(1e30)
 
@@ -86,7 +87,13 @@ def _closest_kernel(n_tris: int, tri_refs, ray_refs, out_refs):
         jnp.zeros_like(ox),
         jnp.full(ox.shape, -1, jnp.int32),
     )
-    best_t, best_u, best_v, best_prim = jax.lax.fori_loop(0, n_tris, body, init)
+    if n_tris <= UNROLL_LIMIT:
+        carry = init
+        for t_i in range(n_tris):  # static scalar reads, fully pipelined
+            carry = body(t_i, carry)
+        best_t, best_u, best_v, best_prim = carry
+    else:
+        best_t, best_u, best_v, best_prim = jax.lax.fori_loop(0, n_tris, body, init)
     t_out[:] = best_t
     u_out[:] = best_u
     v_out[:] = best_v
@@ -135,11 +142,18 @@ def _any_kernel(n_tris: int, tri_refs, ray_refs, out_refs):
             & (t > t_min)
             & (t < t_max)
         )
-        return occ | ok
+        # int32 throughout: bool vector loop carries / output tiles fail
+        # Mosaic compilation on this toolchain
+        return occ | ok.astype(jnp.int32)
 
-    occ = jax.lax.fori_loop(
-        0, n_tris, body2, jnp.zeros(ox.shape, dtype=jnp.bool_)
-    )
+    if n_tris <= UNROLL_LIMIT:
+        occ = jnp.zeros(ox.shape, dtype=jnp.int32)
+        for t_i in range(n_tris):
+            occ = body2(t_i, occ)
+    else:
+        occ = jax.lax.fori_loop(
+            0, n_tris, body2, jnp.zeros(ox.shape, dtype=jnp.int32)
+        )
     occ_out[:] = occ
 
 
@@ -201,10 +215,10 @@ def _pallas_trace(tri_planes, o, d, t_min, t_max, want_closest: bool, interpret:
         grid=grid,
         in_specs=[tri_spec] * 9 + [ray_spec] * 8,
         out_specs=[pl.BlockSpec((BLOCK_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)],
-        out_shape=[jax.ShapeDtypeStruct(shape2d, jnp.bool_)],
+        out_shape=[jax.ShapeDtypeStruct(shape2d, jnp.int32)],
         interpret=interpret,
     )(*tri_planes, *ray_planes)
-    return outs[0].reshape(-1)[:n]
+    return outs[0].reshape(-1)[:n] != 0
 
 
 def make_tri_planes(p0, e1, e2):

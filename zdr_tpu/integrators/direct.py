@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from ..accel import trace_any, trace_closest
 from ..envmap import env_radiance, env_sampled_light_pdf
-from ..interaction import surface_interact
+from ..interaction import gather_rows, surface_interact
 from ..lights import light_selection_pdf, sample_light, sample_light_pdf
 from ..microfacet import ggx_brdf, ggx_sample, ggx_sample_pdf
 from ..onb import make_onb
@@ -53,7 +53,7 @@ def direct_estimator(data: SceneData, material, ray_o, ray_d, sampler):
 
     frontfacing = (dot(wo, it.ng) >= 1e-4) & (dot(wo, it.ns) >= 1e-4)
     inst = jnp.maximum(hit.inst, 0)
-    emission = data.emission[inst]
+    emission = gather_rows(data.emission, inst)
     # reference hack (direct.py:30-32): every instance except #0 is a light
     hit_light = hit.inst > 0
     shade = (~hit.miss) & frontfacing & (~hit_light)
@@ -106,7 +106,7 @@ def direct_estimator(data: SceneData, material, ray_o, ray_d, sampler):
             pdf_light2_miss = jnp.zeros(wi.shape[:-1], jnp.float32)
 
         inst2 = jnp.maximum(hit2.inst, 0)
-        emission2_hit = data.emission[inst2]
+        emission2_hit = gather_rows(data.emission, inst2)
         pdf_light2_hit = sample_light_pdf(data, sg(it.p), hit2.inst, hit2.prim, it2.p)
 
         emission2 = jnp.where(hit2.miss[..., None], emission2_miss, emission2_hit)

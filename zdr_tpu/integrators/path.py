@@ -36,7 +36,7 @@ import jax.numpy as jnp
 
 from ..accel import trace_any, trace_closest
 from ..envmap import env_radiance, env_sampled_light_pdf
-from ..interaction import surface_interact
+from ..interaction import gather_rows, surface_interact
 from ..lights import light_selection_pdf, sample_light, sample_light_pdf
 from ..microfacet import ggx_brdf, ggx_sample, ggx_sample_pdf
 from ..onb import make_onb
@@ -92,7 +92,7 @@ def _walk_one_bounce(data: SceneData, material, o, d, pdf_bsdf_prev, active, sam
 
     frontfacing = (dot(wo, it.ng) >= 1e-4) & (dot(wo, it.ns) >= 1e-4)
     inst = jnp.maximum(hit.inst, 0)
-    emission = data.emission[inst]
+    emission = gather_rows(data.emission, inst)
     emissive = jnp.any(emission > 0.0, axis=-1)
 
     # -- emitter hit: MIS vs carried bsdf pdf (prb.py:39-44)

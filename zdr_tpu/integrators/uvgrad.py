@@ -26,15 +26,17 @@ from .wrapper import RenderConfig, _pixel_grid
 
 
 def _trace_duvdxy(data: SceneData, o, d, o_dx, d_dx, o_dy, d_dy):
+    from ..interaction import gather_rows
+
     hit = trace_closest(data.accel, o, d)
     prim = jnp.maximum(hit.prim, 0)
-    tri = data.geom.triangles[prim]
-    p0 = data.geom.positions[tri[..., 0]]
-    p1 = data.geom.positions[tri[..., 1]]
-    p2 = data.geom.positions[tri[..., 2]]
-    t0 = data.geom.uvs[tri[..., 0]]
-    t1 = data.geom.uvs[tri[..., 1]]
-    t2 = data.geom.uvs[tri[..., 2]]
+    tri = gather_rows(data.geom.triangles, prim)
+    p0 = gather_rows(data.geom.positions, tri[..., 0])
+    p1 = gather_rows(data.geom.positions, tri[..., 1])
+    p2 = gather_rows(data.geom.positions, tri[..., 2])
+    t0 = gather_rows(data.geom.uvs, tri[..., 0])
+    t1 = gather_rows(data.geom.uvs, tri[..., 1])
+    t2 = gather_rows(data.geom.uvs, tri[..., 2])
     p = hit.interpolate(p0, p1, p2)
 
     # dp/duv: dpde (3x2 cols e1,e2) times inverse of duvde (2x2), v flipped

@@ -23,16 +23,32 @@ class Interaction(NamedTuple):
     ng: jnp.ndarray  # (N, 3) geometric normal
 
 
+def gather_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Gather rows (N, C) from (M, C) via per-component flat gathers.
+
+    On TPU, `table[idx]` with a small trailing C pads C up to 128 lanes per
+    gathered row (~30x wasted bandwidth); C separate (N,)-shaped gathers from
+    column slices keep the lane axis on N. XLA hoists the column slices.
+    """
+    cols = [table[:, c][idx] for c in range(table.shape[1])]
+    return jnp.stack(cols, axis=-1)
+
+
 def surface_interact(hit: Hit, geom: Geometry) -> Interaction:
     prim = jnp.maximum(hit.prim, 0)  # clamp misses; callers mask by hit.miss
-    tri = geom.triangles[prim]  # (N, 3)
-    p0 = geom.positions[tri[..., 0]]
-    p1 = geom.positions[tri[..., 1]]
-    p2 = geom.positions[tri[..., 2]]
-    uv = hit.interpolate(geom.uvs[tri[..., 0]], geom.uvs[tri[..., 1]], geom.uvs[tri[..., 2]])
+    tri = gather_rows(geom.triangles, prim)  # (N, 3)
+    i0, i1, i2 = tri[..., 0], tri[..., 1], tri[..., 2]
+    p0 = gather_rows(geom.positions, i0)
+    p1 = gather_rows(geom.positions, i1)
+    p2 = gather_rows(geom.positions, i2)
+    uv = hit.interpolate(
+        gather_rows(geom.uvs, i0), gather_rows(geom.uvs, i1), gather_rows(geom.uvs, i2)
+    )
     ns = normalize(
         hit.interpolate(
-            geom.normals[tri[..., 0]], geom.normals[tri[..., 1]], geom.normals[tri[..., 2]]
+            gather_rows(geom.normals, i0),
+            gather_rows(geom.normals, i1),
+            gather_rows(geom.normals, i2),
         )
     )
     ng = normalize(cross(p1 - p0, p2 - p0))

@@ -52,10 +52,12 @@ def sample_uniform_triangle(u: jnp.ndarray) -> jnp.ndarray:
 
 def _mesh_light_geometry(data: SceneData, prim: jnp.ndarray):
     """Fetch world-space vertices of global triangle ids (N,)."""
-    tri = data.geom.triangles[prim]
-    p0 = data.geom.positions[tri[..., 0]]
-    p1 = data.geom.positions[tri[..., 1]]
-    p2 = data.geom.positions[tri[..., 2]]
+    from .interaction import gather_rows
+
+    tri = gather_rows(data.geom.triangles, prim)
+    p0 = gather_rows(data.geom.positions, tri[..., 0])
+    p1 = gather_rows(data.geom.positions, tri[..., 1])
+    p2 = gather_rows(data.geom.positions, tri[..., 2])
     return p0, p1, p2
 
 
@@ -73,13 +75,14 @@ def sample_light(
 
     # ---- point light branch (reference stub completed, light.py:32-44)
     p_idx = jnp.clip(idx - data.env_count, 0, data.point_pos.shape[0] - 1)
-    pp = data.point_pos[p_idx]
+    from .interaction import gather_rows as _gr
+    pp = _gr(data.point_pos, p_idx)
     p_delta = pp - origin
     p_sqr = length_squared(p_delta)
     p_wi = normalize(p_delta)
     p_pdf = p_sqr / n
     p_dist = 0.9999 * jnp.sqrt(p_sqr)
-    p_eval = data.point_intensity[p_idx]
+    p_eval = _gr(data.point_intensity, p_idx)
 
     # ---- mesh area light branch
     mesh_idx = jnp.clip(
@@ -92,7 +95,7 @@ def sample_light(
     p0, p1, p2 = _mesh_light_geometry(data, prim)
     abc = sample_uniform_triangle(u2)
     p_light = abc[..., 0:1] * p0 + abc[..., 1:2] * p1 + abc[..., 2:3] * p2
-    emission = data.emission[inst]
+    emission = _gr(data.emission, inst)
     c = cross(p1 - p0, p2 - p0)
     light_normal = normalize(c)
     wi = normalize(p_light - origin)
