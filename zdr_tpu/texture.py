@@ -69,36 +69,36 @@ def segment_scatter_add(
     the floor (~7.5 ns/entry); sorting values alongside the keys in one
     lax.sort avoids a 1M row gather, and a segment forward-fill turns the
     start/end scatter pair into a single scatter of per-segment totals."""
+    if isinstance(vals, (list, tuple)):
+        chans = list(vals)
+    else:
+        chans = [vals[:, ch] for ch in range(vals.shape[-1])]
     m = ids.shape[0]
-    c = vals.shape[-1]
-    sorted_ops = jax.lax.sort(
-        [ids] + [vals[:, ch] for ch in range(c)], num_keys=1
-    )
+    sorted_ops = jax.lax.sort([ids] + chans, num_keys=1)
     i2 = sorted_ops[0]
-    v2 = jnp.stack(sorted_ops[1:], axis=-1)
-    csum = jnp.cumsum(v2, axis=0)
-    prev_csum = jnp.concatenate([jnp.zeros((1, c), v2.dtype), csum[:-1]], axis=0)
+    v2 = sorted_ops[1:]  # channel-major (M,) arrays: no (M,C) relayouts
     is_end = jnp.concatenate([i2[:-1] != i2[1:], jnp.ones((1,), bool)])
     is_start = jnp.concatenate([jnp.ones((1,), bool), i2[1:] != i2[:-1]])
+    pos = jnp.arange(m, dtype=jnp.int32)
+    idx_end = jnp.where(is_end, i2, n_bins + pos)
 
     # forward-fill the cumsum value from each segment's start through the
     # segment: total_at_end = csum[end] - csum[just before segment start]
     def ff_op(a, b):
         av, am = a
         bv, bm = b
-        return jnp.where(bm[..., None], bv, av), am | bm
+        return jnp.where(bm, bv, av), am | bm
 
-    base = jnp.where(is_start[:, None], prev_csum, 0.0)
-    ff, _ = jax.lax.associative_scan(ff_op, (base, is_start), axis=0)
-    total = csum - ff
-
-    pos = jnp.arange(m, dtype=jnp.int32)
-    idx_end = jnp.where(is_end, i2, n_bins + pos)
     outs = []
-    for ch in range(c):
-        buf = jnp.zeros((n_bins + m,), v2.dtype)
+    for v in v2:
+        csum = jnp.cumsum(v)
+        prev_csum = jnp.concatenate([jnp.zeros((1,), v.dtype), csum[:-1]])
+        base = jnp.where(is_start, prev_csum, 0.0)
+        ff, _ = jax.lax.associative_scan(ff_op, (base, is_start), axis=0)
+        total = csum - ff
+        buf = jnp.zeros((n_bins + m,), v.dtype)
         buf = buf.at[idx_end].add(
-            jnp.where(is_end, total[:, ch], 0.0), unique_indices=True
+            jnp.where(is_end, total, 0.0), unique_indices=True
         )
         outs.append(buf[:n_bins])
     return jnp.stack(outs, axis=-1)
@@ -131,10 +131,19 @@ def write_bsdf_grad(
         y = jnp.clip(((1.0 - uv[..., 1]) * (h - 1) + 0.4999).astype(jnp.int32), 0, h - 1)
         add = segment_scatter_add(y * w + x, dmat, h * w).reshape(h, w, 4)
         return d_material + add
-    ids, weights = _bilinear_corners(uv, h, w)
-    flat_ids = ids.reshape(-1)  # (N*4,)
-    flat_vals = (weights[..., None] * dmat[..., None, :]).reshape(-1, 4)
-    add = segment_scatter_add(flat_ids, flat_vals, h * w).reshape(h, w, 4)
+    # channel-major (M,) construction: no (N,4,4) intermediates (their tiny
+    # minor dims cost large relayouts on TPU)
+    x0, y0, fx, fy = _texel_coords(uv, h, w)
+    xa, ya = _clamp_xy(x0, y0, h, w)
+    xb, yb = _clamp_xy(x0 + 1, y0 + 1, h, w)
+    corner_ids = (ya * w + xa, yb * w + xa, ya * w + xb, yb * w + xb)
+    corner_ws = ((1 - fx) * (1 - fy), (1 - fx) * fy, fx * (1 - fy), fx * fy)
+    flat_ids = jnp.concatenate(corner_ids)
+    chans = []
+    for ch in range(4):
+        g = dmat[..., ch]
+        chans.append(jnp.concatenate([wk * g for wk in corner_ws]))
+    add = segment_scatter_add(flat_ids, chans, h * w).reshape(h, w, 4)
     return d_material + add
 
 
