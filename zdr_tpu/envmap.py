@@ -199,7 +199,12 @@ def uv_to_direction(uv: jnp.ndarray) -> jnp.ndarray:
 def direction_to_uv(d: jnp.ndarray) -> jnp.ndarray:
     theta = jnp.arccos(jnp.clip(d[..., 1], -1.0, 1.0))
     phi = jnp.arctan2(d[..., 0], d[..., 2])
-    return jnp.stack([1.0 - phi / (2.0 * _PI), theta / _PI], axis=-1)
+    u = 1.0 - phi / (2.0 * _PI)
+    # wrap into [0,1): the reference leaves u in [0.5, 1.5) and *clamps* it
+    # in env_sampled_light_pdf (envmap.py:242), which breaks MIS pdfs on
+    # half the sphere; its texture fetch only worked via hardware repeat.
+    u = u - jnp.floor(u)
+    return jnp.stack([u, theta / _PI], axis=-1)
 
 
 def texture_sample(tex: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:

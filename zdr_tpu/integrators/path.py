@@ -41,7 +41,8 @@ from ..lights import light_selection_pdf, sample_light, sample_light_pdf
 from ..microfacet import ggx_brdf, ggx_sample, ggx_sample_pdf
 from ..onb import make_onb
 from ..scenedata import SceneData
-from ..texture import read_bsdf, write_bsdf_grad
+from ..samplers.hashes import lcg_to_unit_float
+from ..texture import read_bsdf, write_bsdf_grad, write_bsdf_grad_stochastic
 from ..vecmath import dot, luminance, offset_ray_origin
 
 sg = jax.lax.stop_gradient
@@ -212,8 +213,9 @@ def path_estimator(data: SceneData, material, ray_o, ray_d, sampler):
     return radiance
 
 
-def path_backward(data: SceneData, material, ray_o, ray_d, sampler, le_grad):
+def path_backward(data: SceneData, material, ray_o, ray_d, sampler, le_grad, cfg=None):
     """PRB gradient walk -> d_material (H, W, 4) contribution for this pass."""
+    stochastic = cfg is not None and getattr(cfg, "stochastic_splat", False)
     N = ray_o.shape[0]
     material = sg(material)
 
@@ -259,7 +261,12 @@ def path_backward(data: SceneData, material, ray_o, ray_d, sampler, le_grad):
         (mat_grad,) = vjp((ct_nee, ct_bounce))
         mat_grad = jnp.where(jnp.isnan(mat_grad), 0.0, mat_grad)  # prb.py:179
         grad_lane_ok = (v.nee_ok | v.active)[..., None]
-        d_mat = write_bsdf_grad(v.uv, jnp.where(grad_lane_ok, mat_grad, 0.0), d_mat)
+        masked_grad = jnp.where(grad_lane_ok, mat_grad, 0.0)
+        if stochastic:
+            u_splat = lcg_to_unit_float(smp.salt())
+            d_mat = write_bsdf_grad_stochastic(v.uv, masked_grad, d_mat, u_splat)
+        else:
+            d_mat = write_bsdf_grad(v.uv, masked_grad, d_mat)
 
         beta_next = beta * b_bounce * inv_pdf[..., None]
         active2, rr = _apply_rr(depth, beta_next, v.active, v.rr_scale)

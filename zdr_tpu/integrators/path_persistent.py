@@ -136,7 +136,8 @@ def render_path_backward_persistent(
     scatter-adds differs (both deterministic)."""
     from .path import SPECULAR
     from ..microfacet import ggx_brdf
-    from ..texture import write_bsdf_grad
+    from ..samplers.hashes import lcg_to_unit_float
+    from ..texture import write_bsdf_grad, write_bsdf_grad_stochastic
 
     N = coords.shape[0]
     spp = cfg.spp
@@ -216,11 +217,14 @@ def render_path_backward_persistent(
         )
         (mat_grad,) = vjp((ct_nee, ct_bounce))
         mat_grad = jnp.where(jnp.isnan(mat_grad), 0.0, mat_grad)
-        d_mat = write_bsdf_grad(
-            v.uv,
-            jnp.where((in_grad & (v.nee_ok | v.active))[..., None], mat_grad, 0.0),
-            s["d_mat"],
+        masked_grad = jnp.where(
+            (in_grad & (v.nee_ok | v.active))[..., None], mat_grad, 0.0
         )
+        if cfg.stochastic_splat:
+            u_splat = lcg_to_unit_float(smp.salt())
+            d_mat = write_bsdf_grad_stochastic(v.uv, masked_grad, s["d_mat"], u_splat)
+        else:
+            d_mat = write_bsdf_grad(v.uv, masked_grad, s["d_mat"])
 
         # ---- continuation / termination
         beta_next = beta * v.bsdf_bounce * inv_pdf[..., None]

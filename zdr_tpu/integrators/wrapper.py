@@ -46,6 +46,9 @@ class RenderConfig:
     # path integrator: persistent-lane forward (dead paths immediately
     # restart on the lane's next spp sample — see path_persistent.py)
     persistent: bool = True
+    # path PRB backward: unbiased single-corner texture-gradient splat
+    # (4x fewer scatter entries; see texture.write_bsdf_grad_stochastic)
+    stochastic_splat: bool = True
 
 
 def _pixel_grid(res: Tuple[int, int]) -> jnp.ndarray:
@@ -145,7 +148,7 @@ def render_grad_rays(
         sampler = make_sampler(cfg.sampler, coords, seed, cfg.spp, it)
         o, d, sampler = _primary_rays(coords, camera, sampler, cfg.res, cfg.use_tent_filter)
         if backward is not None:
-            contrib = backward(data, material, o, d, sampler, le_grad)
+            contrib = backward(data, material, o, d, sampler, le_grad, cfg)
         else:
             def weighted(mat):
                 radiance = estimator(data, mat, o, d, sampler)

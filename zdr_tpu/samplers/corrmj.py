@@ -40,6 +40,10 @@ class CorrMJSampler(NamedTuple):
     res: jnp.ndarray  # (N,) uint32 grid side
     resw: jnp.ndarray  # (N,) uint32
 
+    def salt(self) -> jnp.ndarray:
+        """Per-lane, per-bounce uint32 side-channel (see LCGSampler.salt)."""
+        return self.state ^ (self.dimension * U32(0x9E3779B9)) ^ U32(0x5F356495)
+
     def next1(self) -> Tuple[jnp.ndarray, "CorrMJSampler"]:
         ps = self.permutation_seed + self.dimension
         index = permutation_element(

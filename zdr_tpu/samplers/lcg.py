@@ -22,6 +22,12 @@ class LCGSampler(NamedTuple):
         s = lcg_step(self.state)
         return lcg_to_unit_float(s), LCGSampler(s)
 
+    def salt(self) -> jnp.ndarray:
+        """Per-lane uint32 that varies each bounce; for side-channel draws
+        (e.g. stochastic gradient splatting) that must not advance or
+        correlate with the replayable main stream."""
+        return self.state ^ U32(0x5F356495)
+
     def next2(self) -> Tuple[jnp.ndarray, "LCGSampler"]:
         s1 = lcg_step(self.state)
         s2 = lcg_step(s1)

@@ -78,6 +78,15 @@ class PMJ02BNSampler(NamedTuple):
             jnp.int32
         )
 
+    def salt(self) -> jnp.ndarray:
+        """Per-lane, per-bounce uint32 side-channel (see LCGSampler.salt)."""
+        return xxhash32_4(
+            self.pixel[..., 0] ^ U32(0x5F356495),
+            self.pixel[..., 1],
+            self.dimension,
+            self.seed ^ self.sample_index,
+        )
+
     def next1(self) -> Tuple[jnp.ndarray, "PMJ02BNSampler"]:
         h = xxhash32_4(
             self.pixel[..., 0], self.pixel[..., 1], self.dimension, self.seed
