@@ -45,18 +45,40 @@ def _start_sample(coords, camera, seed, spp, sample_idx, res, use_tent, kind):
 def render_path_persistent(
     data: SceneData, material, camera, seed, cfg, coords
 ) -> jnp.ndarray:
-    """spp-averaged path-traced radiance for a pixel batch -> (M, 3)."""
-    N = coords.shape[0]
+    """spp-averaged path-traced radiance for a pixel batch -> (M, 3).
+
+    Each pixel gets `cfg.lanes_per_pixel` persistent lanes, each owning a
+    contiguous slice of the pixel's spp budget. The loop body is dominated
+    by per-op overhead rather than per-element throughput on TPU, so wider
+    arrays with proportionally fewer iterations are nearly free — measured
+    ~2-3x wall-clock at K=4. Results differ from K=1 only by summation
+    order (same per-sample streams)."""
+    K = max(1, min(cfg.lanes_per_pixel, cfg.spp))
+    n_pix = coords.shape[0]
     spp = cfg.spp
+    base = spp // K
+    extra = spp % K
+    # lane k handles sample indices [start_k, stop_k)
+    starts, stops = [], []
+    acc_s = 0
+    for k_i in range(K):
+        cnt = base + (1 if k_i < extra else 0)
+        starts.append(acc_s)
+        stops.append(acc_s + cnt)
+        acc_s += cnt
+    coords = jnp.tile(coords, (K, 1))
+    N = coords.shape[0]
+    start_idx = jnp.repeat(jnp.array(starts, jnp.int32), n_pix)
+    stop_idx = jnp.repeat(jnp.array(stops, jnp.int32), n_pix)
 
     sampler0, o0, d0 = _start_sample(
-        coords, camera, seed, spp, jnp.zeros((N,), jnp.int32), cfg.res,
+        coords, camera, seed, spp, start_idx, cfg.res,
         cfg.use_tent_filter, cfg.sampler,
     )
 
     # state: (sample_idx, acc, cur, beta, pdf_prev, o, d, sampler, depth, iter)
     init = (
-        jnp.zeros((N,), jnp.int32),  # sample_idx
+        start_idx,  # sample_idx
         jnp.zeros((N, 3), jnp.float32),  # acc (committed samples)
         jnp.zeros((N, 3), jnp.float32),  # cur (in-flight path)
         jnp.ones((N, 3), jnp.float32),  # beta
@@ -68,15 +90,15 @@ def render_path_persistent(
         jnp.zeros((), jnp.int32),  # global iteration counter (safety bound)
     )
 
-    max_iters = spp * max_depth + max_depth
+    max_iters = (base + 1) * max_depth + max_depth
 
     def cond(s):
         sample_idx = s[0]
-        return jnp.any(sample_idx < spp) & (s[9] < max_iters)
+        return jnp.any(sample_idx < stop_idx) & (s[9] < max_iters)
 
     def body(s):
         sample_idx, acc, cur, beta, pdf_prev, o, d, smp, depth, it = s
-        lane_live = sample_idx < spp
+        lane_live = sample_idx < stop_idx
 
         v, smp = _walk_one_bounce(data, material, o, d, pdf_prev, lane_live, smp)
         cur = cur + beta * v.add_emit
@@ -100,7 +122,7 @@ def render_path_persistent(
             coords, camera, seed, spp, sample_idx, cfg.res, cfg.use_tent_filter,
             cfg.sampler,
         )
-        restart = terminated & (sample_idx < spp)
+        restart = terminated & (sample_idx < stop_idx)
 
         def sel(a, b):  # where(restart, a, b) with broadcasting
             r = restart.reshape(restart.shape + (1,) * (a.ndim - 1))
@@ -120,7 +142,7 @@ def render_path_persistent(
         return (sample_idx, acc, cur, beta, pdf_prev, o, d, smp, depth, it + 1)
 
     out = jax.lax.while_loop(cond, body, init)
-    acc = out[1]
+    acc = out[1].reshape(K, n_pix, 3).sum(axis=0)
     return acc / spp
 
 
@@ -139,18 +161,33 @@ def render_path_backward_persistent(
     from ..samplers.hashes import lcg_to_unit_float
     from ..texture import write_bsdf_grad, write_bsdf_grad_stochastic
 
-    N = coords.shape[0]
+    K = max(1, min(cfg.lanes_per_pixel, cfg.spp))
+    n_pix = coords.shape[0]
     spp = cfg.spp
+    base = spp // K
+    extra = spp % K
+    starts, stops = [], []
+    acc_s = 0
+    for k_i in range(K):
+        cnt = base + (1 if k_i < extra else 0)
+        starts.append(acc_s)
+        stops.append(acc_s + cnt)
+        acc_s += cnt
+    coords = jnp.tile(coords, (K, 1))
+    le_grad = jnp.tile(le_grad, (K, 1))
+    N = coords.shape[0]
+    start_idx = jnp.repeat(jnp.array(starts, jnp.int32), n_pix)
+    stop_idx = jnp.repeat(jnp.array(stops, jnp.int32), n_pix)
     sg = jax.lax.stop_gradient
     material = sg(material)
 
     sampler0, o0, d0 = _start_sample(
-        coords, camera, seed, spp, jnp.zeros((N,), jnp.int32), cfg.res,
+        coords, camera, seed, spp, start_idx, cfg.res,
         cfg.use_tent_filter, cfg.sampler,
     )
 
     init = dict(
-        sample_idx=jnp.zeros((N,), jnp.int32),
+        sample_idx=start_idx,
         phase=jnp.zeros((N,), jnp.int32),  # 0 = Le walk, 1 = grad walk
         depth=jnp.zeros((N,), jnp.int32),
         o=o0,
@@ -165,13 +202,13 @@ def render_path_backward_persistent(
         it=jnp.zeros((), jnp.int32),
     )
 
-    max_iters = 2 * spp * max_depth + 2 * max_depth
+    max_iters = 2 * (base + 1) * max_depth + 2 * max_depth
 
     def cond(s):
-        return jnp.any(s["sample_idx"] < spp) & (s["it"] < max_iters)
+        return jnp.any(s["sample_idx"] < stop_idx) & (s["it"] < max_iters)
 
     def body(s):
-        lane_live = s["sample_idx"] < spp
+        lane_live = s["sample_idx"] < stop_idx
         in_grad = lane_live & (s["phase"] == 1)
         beta = s["beta"]
 
@@ -248,7 +285,7 @@ def render_path_backward_persistent(
             coords, camera, seed, spp, sample_idx, cfg.res, cfg.use_tent_filter,
             cfg.sampler,
         )
-        restart = terminated & (sample_idx < spp)
+        restart = terminated & (sample_idx < stop_idx)
 
         def sel(a, b):
             r = restart.reshape(restart.shape + (1,) * (a.ndim - 1))

@@ -49,6 +49,10 @@ class RenderConfig:
     # path PRB backward: unbiased single-corner texture-gradient splat
     # (4x fewer scatter entries; see texture.write_bsdf_grad_stochastic)
     stochastic_splat: bool = True
+    # persistent path loop: parallel lanes per pixel. Measured: K>1 loses on
+    # TPU (per-element throughput dominates and per-lane tails idle more),
+    # so default 1; kept as a tuning knob for other topologies.
+    lanes_per_pixel: int = 1
 
 
 def _pixel_grid(res: Tuple[int, int]) -> jnp.ndarray:

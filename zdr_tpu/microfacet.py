@@ -78,9 +78,13 @@ def sample_wm(w: jnp.ndarray, alpha: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray
         jnp.concatenate([alpha[..., None] * w[..., :2], w[..., 2:3]], axis=-1)
     )
     wh = jnp.where(wh[..., 2:3] < 0.0, -wh, wh)
-    z_axis = jnp.zeros_like(wh).at[..., 2].set(1.0)
-    t1_generic = normalize(jnp.cross(z_axis, wh))
-    t1_degenerate = jnp.zeros_like(wh).at[..., 0].set(1.0)
+    # cross((0,0,1), wh) = (-wh.y, wh.x, 0), written out (an .at[].set()
+    # constant axis builds a scatter op on TPU)
+    zero = jnp.zeros_like(wh[..., 0])
+    t1_generic = normalize(
+        jnp.stack([-wh[..., 1], wh[..., 0], zero], axis=-1)
+    )
+    t1_degenerate = jnp.stack([zero + 1.0, zero, zero], axis=-1)
     t1 = jnp.where(wh[..., 2:3] < 0.99999, t1_generic, t1_degenerate)
     t2 = jnp.cross(wh, t1)
     p = sample_uniform_disk_polar(u)
