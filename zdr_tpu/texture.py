@@ -104,16 +104,55 @@ def segment_scatter_add(
     return jnp.stack(outs, axis=-1)
 
 
+def pack_quads(material: jnp.ndarray) -> jnp.ndarray:
+    """Pack the texture into overlapping 2x2 quads: entry (y, x) holds the
+    four texels {(y,x),(y+1,x),(y,x+1),(y+1,x+1)} as one 16-float row, so a
+    bilinear fetch is ONE row-gather instead of four. 4x the memory, built
+    once per render call (XLA hoists it out of the spp/bounce loops since
+    the material is loop-invariant). TPU row-gather cost is per-row (~11ns),
+    so this is the single biggest texture-fetch lever (measured ~25%+ of a
+    path bounce)."""
+    c00 = material[:-1, :-1]
+    c01 = material[1:, :-1]
+    c10 = material[:-1, 1:]
+    c11 = material[1:, 1:]
+    h1, w1 = c00.shape[0], c00.shape[1]
+    return jnp.concatenate([c00, c01, c10, c11], axis=-1).reshape(h1 * w1, 16)
+
+
+def _read_bsdf_quads(uv: jnp.ndarray, packed: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """Bilinear fetch from a pack_quads table (CLAMP + v-flip semantics
+    identical to the reference's read_bsdf)."""
+    x = uv[..., 0] * (w - 1)
+    y = (1.0 - uv[..., 1]) * (h - 1)
+    # clamp the quad anchor, recompute fractions against it: reproduces
+    # CLAMP addressing exactly, including at the u=1 / v=0 borders
+    x0 = jnp.clip(jnp.floor(x), 0, w - 2)
+    y0 = jnp.clip(jnp.floor(y), 0, h - 2)
+    fx = jnp.clip(x - x0, 0.0, 1.0)
+    fy = jnp.clip(y - y0, 0.0, 1.0)
+    rows = packed[(y0 * (w - 1) + x0).astype(jnp.int32)]  # (N, 16)
+    w00 = ((1 - fx) * (1 - fy))[..., None]
+    w01 = ((1 - fx) * fy)[..., None]
+    w10 = (fx * (1 - fy))[..., None]
+    w11 = (fx * fy)[..., None]
+    return (
+        rows[..., 0:4] * w00
+        + rows[..., 4:8] * w01
+        + rows[..., 8:12] * w10
+        + rows[..., 12:16] * w11
+    )
+
+
 def _read_bsdf_impl(uv: jnp.ndarray, material: jnp.ndarray) -> jnp.ndarray:
     h, w = material.shape[0], material.shape[1]
     if not BILINEAR:
         x = jnp.clip((uv[..., 0] * (w - 1) + 0.4999).astype(jnp.int32), 0, w - 1)
         y = jnp.clip(((1.0 - uv[..., 1]) * (h - 1) + 0.4999).astype(jnp.int32), 0, h - 1)
         return material[y, x]
+    if h >= 2 and w >= 2:
+        return _read_bsdf_quads(uv, pack_quads(material), h, w)
     ids, weights = _bilinear_corners(uv, h, w)
-    # One row-gather for all 4 corners x 4 channels: measured fastest on TPU
-    # (gather cost scales with the number of gathered indices, so 1M index
-    # rows beats 16 separate flat gathers ~4x despite the padded rows).
     flat = material.reshape(h * w, 4)
     corners = flat[ids]  # (N, 4corners, 4ch)
     return jnp.sum(corners * weights[..., None], axis=-2)
