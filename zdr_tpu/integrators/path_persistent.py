@@ -159,7 +159,11 @@ def render_path_backward_persistent(
     from .path import SPECULAR
     from ..microfacet import ggx_brdf
     from ..samplers.hashes import lcg_to_unit_float
-    from ..texture import write_bsdf_grad, write_bsdf_grad_stochastic
+    from ..texture import (
+        cm_to_texture,
+        write_bsdf_grad,
+        write_bsdf_grad_stochastic_cm,
+    )
 
     K = max(1, min(cfg.lanes_per_pixel, cfg.spp))
     n_pix = coords.shape[0]
@@ -198,7 +202,13 @@ def render_path_backward_persistent(
         cur=jnp.zeros((N, 3), jnp.float32),  # phase-0 Le accumulator
         le_rem=jnp.zeros((N, 3), jnp.float32),  # phase-1 remaining radiance
         gok=jnp.ones((N,), bool),  # gradient enabled (False if Le was NaN)
-        d_mat=jnp.zeros_like(material),
+        # gradient accumulator carried channel-major (4, H*W): an (H, W, 4)
+        # loop carry tiles its trailing 4 up to 128 lanes (32x memory)
+        d_mat=(
+            jnp.zeros((4, material.shape[0] * material.shape[1]), material.dtype)
+            if cfg.stochastic_splat
+            else jnp.zeros_like(material)
+        ),
         it=jnp.zeros((), jnp.int32),
     )
 
@@ -254,13 +264,18 @@ def render_path_backward_persistent(
         )
         (mat_grad,) = vjp((ct_nee, ct_bounce))
         mat_grad = jnp.where(jnp.isnan(mat_grad), 0.0, mat_grad)
-        masked_grad = jnp.where(
-            (in_grad & (v.nee_ok | v.active))[..., None], mat_grad, 0.0
-        )
+        grad_on = in_grad & (v.nee_ok | v.active)
         if cfg.stochastic_splat:
             u_splat = lcg_to_unit_float(smp.salt())
-            d_mat = write_bsdf_grad_stochastic(v.uv, masked_grad, s["d_mat"], u_splat)
+            chans = tuple(
+                jnp.where(grad_on, mat_grad[..., c], 0.0) for c in range(4)
+            )
+            d_mat = write_bsdf_grad_stochastic_cm(
+                v.uv, chans, s["d_mat"], u_splat,
+                material.shape[0], material.shape[1],
+            )
         else:
+            masked_grad = jnp.where(grad_on[..., None], mat_grad, 0.0)
             d_mat = write_bsdf_grad(v.uv, masked_grad, s["d_mat"])
 
         # ---- continuation / termination
@@ -313,4 +328,6 @@ def render_path_backward_persistent(
         )
 
     out = jax.lax.while_loop(cond, body, init)
+    if cfg.stochastic_splat:
+        return cm_to_texture(out["d_mat"], material.shape[0], material.shape[1])
     return out["d_mat"]

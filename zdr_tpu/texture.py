@@ -59,7 +59,7 @@ def _bilinear_corners(uv: jnp.ndarray, h: int, w: int):
 
 
 def segment_scatter_add(
-    ids: jnp.ndarray, vals: jnp.ndarray, n_bins: int
+    ids: jnp.ndarray, vals: jnp.ndarray, n_bins: int, channel_major: bool = False
 ) -> jnp.ndarray:
     """Deterministic duplicate-safe scatter-add: (M,) ids + (M, C) vals ->
     (n_bins, C), via multi-operand sort + cumsum + one conflict-free
@@ -101,6 +101,10 @@ def segment_scatter_add(
             jnp.where(is_end, total, 0.0), unique_indices=True
         )
         outs.append(buf[:n_bins])
+    if channel_major:
+        # (C, n_bins): a (n_bins, C) stack would materialize with the tiny
+        # trailing dim padded to 128 lanes (32x memory/bandwidth)
+        return jnp.stack(outs, axis=0)
     return jnp.stack(outs, axis=-1)
 
 
@@ -220,6 +224,39 @@ def write_bsdf_grad_stochastic(
     chans = [dmat[..., ch] for ch in range(4)]
     add = segment_scatter_add(ids, chans, h * w).reshape(h, w, 4)
     return d_material + add
+
+
+def write_bsdf_grad_stochastic_cm(
+    uv: jnp.ndarray, dmat_chans, d_material_cm: jnp.ndarray, u: jnp.ndarray,
+    h: int, w: int,
+) -> jnp.ndarray:
+    """Channel-major variant for loop carries: d_material_cm is (4, H*W)
+    (an (H, W, 4) carry tiles its trailing 4 up to 128 lanes on TPU — a 32x
+    memory blowup per loop iteration). `dmat_chans` is a tuple of 4 (N,)
+    arrays. Convert once at loop exit with cm_to_texture."""
+    x0, y0, fx, fy = _texel_coords(uv, h, w)
+    xa, ya = _clamp_xy(x0, y0, h, w)
+    xb, yb = _clamp_xy(x0 + 1, y0 + 1, h, w)
+    w00 = (1 - fx) * (1 - fy)
+    w01 = (1 - fx) * fy
+    w10 = fx * (1 - fy)
+    c0 = w00
+    c1 = c0 + w01
+    c2 = c1 + w10
+    ids = jnp.where(
+        u < c0,
+        ya * w + xa,
+        jnp.where(u < c1, yb * w + xa, jnp.where(u < c2, ya * w + xb, yb * w + xb)),
+    )
+    add = segment_scatter_add(ids, list(dmat_chans), h * w, channel_major=True)
+    return d_material_cm + add
+
+
+def cm_to_texture(d_material_cm: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """(4, H*W) channel-major gradient -> (H, W, 4)."""
+    return jnp.stack(
+        [d_material_cm[c].reshape(h, w) for c in range(4)], axis=-1
+    )
 
 
 @jax.custom_vjp
