@@ -27,6 +27,8 @@ from ..scenedata import SceneData
 from .path import _apply_rr, _walk_one_bounce, max_depth
 from .wrapper import RADIANCE_CLAMP
 
+SCATTER_BATCH = 4  # bounces of splat entries buffered per scatter flush
+
 
 def _start_sample(coords, camera, seed, spp, sample_idx, res, use_tent, kind):
     """Fresh sampler + primary ray for (pixel, seed, spp, sample_idx)."""
@@ -161,8 +163,9 @@ def render_path_backward_persistent(
     from ..samplers.hashes import lcg_to_unit_float
     from ..texture import (
         cm_to_texture,
+        segment_scatter_add,
+        stochastic_corner_ids,
         write_bsdf_grad,
-        write_bsdf_grad_stochastic_cm,
     )
 
     K = max(1, min(cfg.lanes_per_pixel, cfg.spp))
@@ -209,8 +212,25 @@ def render_path_backward_persistent(
             if cfg.stochastic_splat
             else jnp.zeros_like(material)
         ),
+        # bounce-batched splat buffers: the sort->cumsum->scan->scatter
+        # pipeline is serial-latency bound (~10 ms at 262k or 1M entries
+        # alike), so B bounces of entries are buffered and flushed in one
+        # amortized call (lax.cond with a scalar predicate: one branch runs)
+        ids_buf=jnp.zeros((SCATTER_BATCH, N), jnp.int32),
+        ch_buf=jnp.zeros((4, SCATTER_BATCH, N), jnp.float32),
         it=jnp.zeros((), jnp.int32),
     )
+
+    n_bins = material.shape[0] * material.shape[1]
+
+    def flush(d_mat, ids_buf, ch_buf):
+        add = segment_scatter_add(
+            ids_buf.reshape(-1),
+            [ch_buf[c].reshape(-1) for c in range(4)],
+            n_bins,
+            channel_major=True,
+        )
+        return d_mat + add
 
     max_iters = 2 * (base + 1) * max_depth + 2 * max_depth
 
@@ -265,15 +285,29 @@ def render_path_backward_persistent(
         (mat_grad,) = vjp((ct_nee, ct_bounce))
         mat_grad = jnp.where(jnp.isnan(mat_grad), 0.0, mat_grad)
         grad_on = in_grad & (v.nee_ok | v.active)
+        ids_buf, ch_buf = s["ids_buf"], s["ch_buf"]
         if cfg.stochastic_splat:
             u_splat = lcg_to_unit_float(smp.salt())
-            chans = tuple(
-                jnp.where(grad_on, mat_grad[..., c], 0.0) for c in range(4)
+            ids = stochastic_corner_ids(
+                v.uv, u_splat, material.shape[0], material.shape[1]
             )
-            d_mat = write_bsdf_grad_stochastic_cm(
-                v.uv, chans, s["d_mat"], u_splat,
-                material.shape[0], material.shape[1],
+            slot = jnp.mod(s["it"], SCATTER_BATCH)
+            ids_buf = jax.lax.dynamic_update_index_in_dim(ids_buf, ids, slot, 0)
+            for c in range(4):
+                ch_buf = ch_buf.at[c, slot].set(
+                    jnp.where(grad_on, mat_grad[..., c], 0.0)
+                )
+            do_flush = slot == SCATTER_BATCH - 1
+            d_mat = jax.lax.cond(
+                do_flush,
+                lambda args: flush(*args),
+                lambda args: args[0],
+                (s["d_mat"], ids_buf, ch_buf),
             )
+            # zero the buffers after a flush so the final partial flush
+            # only adds fresh entries
+            ids_buf = jnp.where(do_flush, jnp.zeros_like(ids_buf), ids_buf)
+            ch_buf = jnp.where(do_flush, jnp.zeros_like(ch_buf), ch_buf)
         else:
             masked_grad = jnp.where(grad_on[..., None], mat_grad, 0.0)
             d_mat = write_bsdf_grad(v.uv, masked_grad, s["d_mat"])
@@ -324,10 +358,14 @@ def render_path_backward_persistent(
         return dict(
             sample_idx=sample_idx, phase=phase, depth=depth, o=o, d=d,
             beta=beta, pdf_prev=pdf_prev, smp=smp, cur=cur, le_rem=le_rem,
-            gok=gok, d_mat=d_mat, it=s["it"] + 1,
+            gok=gok, d_mat=d_mat, ids_buf=ids_buf, ch_buf=ch_buf,
+            it=s["it"] + 1,
         )
 
     out = jax.lax.while_loop(cond, body, init)
     if cfg.stochastic_splat:
-        return cm_to_texture(out["d_mat"], material.shape[0], material.shape[1])
+        # final partial flush (buffers zeroed after full flushes, and unused
+        # slots hold id 0 with zero values — harmless adds)
+        d_mat = flush(out["d_mat"], out["ids_buf"], out["ch_buf"])
+        return cm_to_texture(d_mat, material.shape[0], material.shape[1])
     return out["d_mat"]

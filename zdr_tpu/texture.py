@@ -252,6 +252,27 @@ def write_bsdf_grad_stochastic_cm(
     return d_material_cm + add
 
 
+def stochastic_corner_ids(
+    uv: jnp.ndarray, u: jnp.ndarray, h: int, w: int
+) -> jnp.ndarray:
+    """Pick ONE bilinear corner per sample with probability equal to its
+    weight; returns flat texel ids (N,). See write_bsdf_grad_stochastic_cm."""
+    x0, y0, fx, fy = _texel_coords(uv, h, w)
+    xa, ya = _clamp_xy(x0, y0, h, w)
+    xb, yb = _clamp_xy(x0 + 1, y0 + 1, h, w)
+    w00 = (1 - fx) * (1 - fy)
+    w01 = (1 - fx) * fy
+    w10 = fx * (1 - fy)
+    c0 = w00
+    c1 = c0 + w01
+    c2 = c1 + w10
+    return jnp.where(
+        u < c0,
+        ya * w + xa,
+        jnp.where(u < c1, yb * w + xa, jnp.where(u < c2, ya * w + xb, yb * w + xb)),
+    )
+
+
 def cm_to_texture(d_material_cm: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     """(4, H*W) channel-major gradient -> (H, W, 4)."""
     return jnp.stack(
