@@ -15,7 +15,7 @@ the reference's statistics.
 from __future__ import annotations
 
 import dataclasses
-from functools import lru_cache, partial
+from functools import lru_cache
 from typing import Callable, Optional, Tuple
 
 import jax
@@ -40,9 +40,6 @@ class RenderConfig:
     integrator: str = "direct"
     sampler: str = "lcg"
     use_tent_filter: bool = True
-    # spp folded into each scan step; raise to amortize fixed costs when
-    # rays-per-pass is small, lower to bound memory.
-    spp_per_pass: int = 1
     # path integrator: persistent-lane forward (dead paths immediately
     # restart on the lane's next spp sample — see path_persistent.py)
     persistent: bool = True

@@ -29,7 +29,6 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from .dtypes import Camera
 from .integrators import get_integrator
 from .integrators.wrapper import (
     RenderConfig,
@@ -38,7 +37,6 @@ from .integrators.wrapper import (
     render_forward_rays,
     render_grad_rays,
 )
-from .scenedata import SceneData
 
 AXIS = "px"
 
