@@ -10,8 +10,10 @@ from .bvh import build_bvh
 from .types import Accel
 
 # Below this many triangles the dense intersector wins on TPU (no gathers,
-# no divergence); above it, BVH traversal wins asymptotically.
-AUTO_BVH_THRESHOLD = 1024
+# no divergence); above it BVH traversal wins (measured: the dense sweep is
+# O(N_rays * T) and already loses badly by ~1k triangles — a 962-triangle
+# sphere cost ~50 ms/trace dense vs single-digit ms via BVH).
+AUTO_BVH_THRESHOLD = 256
 
 
 def build_accel(geom: Geometry, method: str = "auto", chunk: int = 0) -> Accel:

@@ -55,14 +55,15 @@ def render_path_persistent(
     arrays with proportionally fewer iterations are nearly free — measured
     ~2-3x wall-clock at K=4. Results differ from K=1 only by summation
     order (same per-sample streams)."""
-    K = max(1, min(cfg.lanes_per_pixel, cfg.spp))
+    win_start, win_count = cfg.window
+    K = max(1, min(cfg.lanes_per_pixel, win_count))
     n_pix = coords.shape[0]
     spp = cfg.spp
-    base = spp // K
-    extra = spp % K
-    # lane k handles sample indices [start_k, stop_k)
+    base = win_count // K
+    extra = win_count % K
+    # lane k handles sample indices [start_k, stop_k) within the window
     starts, stops = [], []
-    acc_s = 0
+    acc_s = win_start
     for k_i in range(K):
         cnt = base + (1 if k_i < extra else 0)
         starts.append(acc_s)
@@ -145,7 +146,7 @@ def render_path_persistent(
 
     out = jax.lax.while_loop(cond, body, init)
     acc = out[1].reshape(K, n_pix, 3).sum(axis=0)
-    return acc / spp
+    return acc / win_count
 
 
 def render_path_backward_persistent(
@@ -168,13 +169,14 @@ def render_path_backward_persistent(
         write_bsdf_grad,
     )
 
-    K = max(1, min(cfg.lanes_per_pixel, cfg.spp))
+    win_start, win_count = cfg.window
+    K = max(1, min(cfg.lanes_per_pixel, win_count))
     n_pix = coords.shape[0]
     spp = cfg.spp
-    base = spp // K
-    extra = spp % K
+    base = win_count // K
+    extra = win_count % K
     starts, stops = [], []
-    acc_s = 0
+    acc_s = win_start
     for k_i in range(K):
         cnt = base + (1 if k_i < extra else 0)
         starts.append(acc_s)

@@ -50,6 +50,18 @@ class RenderConfig:
     # TPU (per-element throughput dominates and per-lane tails idle more),
     # so default 1; kept as a tuning knob for other topologies.
     lanes_per_pixel: int = 1
+    # sample-index window rendered by this call: (start, count). count 0
+    # means the full [0, spp) range. Scene.render slices big jobs into
+    # several device calls with these windows (identical sampling — the
+    # sampler is keyed by global spp and absolute sample index) to keep
+    # single executions under the remote-TPU worker's time limit.
+    it_start: int = 0
+    it_count: int = 0
+
+    @property
+    def window(self) -> Tuple[int, int]:
+        count = self.it_count if self.it_count > 0 else self.spp
+        return self.it_start, count
 
 
 def _pixel_grid(res: Tuple[int, int]) -> jnp.ndarray:
@@ -93,6 +105,8 @@ def render_forward_rays(
 
         return render_path_persistent(data, material, camera, seed, cfg, coords)
 
+    start, count = cfg.window
+
     def one_sample(acc, it):
         sampler = make_sampler(cfg.sampler, coords, seed, cfg.spp, it)
         o, d, sampler = _primary_rays(coords, camera, sampler, cfg.res, cfg.use_tent_filter)
@@ -104,9 +118,9 @@ def render_forward_rays(
     acc, _ = jax.lax.scan(
         one_sample,
         jnp.zeros((coords.shape[0], 3), jnp.float32),
-        jnp.arange(cfg.spp),
+        jnp.arange(start, start + count),
     )
-    return acc / cfg.spp
+    return acc / count
 
 
 def render_forward(
@@ -145,6 +159,8 @@ def render_grad_rays(
             data, material, camera, seed, cfg, coords, le_grad
         )
 
+    start, count = cfg.window
+
     def one_sample(d_mat, it):
         sampler = make_sampler(cfg.sampler, coords, seed, cfg.spp, it)
         o, d, sampler = _primary_rays(coords, camera, sampler, cfg.res, cfg.use_tent_filter)
@@ -160,7 +176,7 @@ def render_grad_rays(
         return d_mat + contrib, None
 
     d_mat, _ = jax.lax.scan(
-        one_sample, jnp.zeros_like(material), jnp.arange(cfg.spp)
+        one_sample, jnp.zeros_like(material), jnp.arange(start, start + count)
     )
     return d_mat
 
@@ -179,7 +195,11 @@ def render_grad(
     inject d_image/spp as the per-sample adjoint, accumulate d_material."""
     w, h = cfg.res
     coords = _pixel_grid(cfg.res)
-    le_grad = d_image[..., :3].reshape(h * w, 3) / cfg.spp
+    # per-sample adjoint: the incoming cotangent of this window's MEAN,
+    # divided by the window sample count (chunk weighting in Scene.render
+    # makes this equal d_image/spp overall — integrator.py:38 semantics)
+    _, count = cfg.window
+    le_grad = d_image[..., :3].reshape(h * w, 3) / count
     le_grad = jnp.where(jnp.isnan(le_grad), 0.0, le_grad)
     return render_grad_rays(
         data, material, camera, seed, le_grad, cfg, estimator, backward, coords

@@ -161,13 +161,22 @@ class Scene:
 
     # ------------------------------------------------------------- render
 
-    def _config(self, res, spp) -> RenderConfig:
+    # Largest sample window per device call. The remote-TPU worker kills
+    # executions that run for more than ~1 minute, so big-spp renders are
+    # sliced into several identical-sampling windows (same global spp key;
+    # absolute sample indices) and combined linearly — bitwise-identical
+    # estimator, bounded per-call runtime.
+    max_spp_per_call = 64
+
+    def _config(self, res, spp, it_start=0, it_count=0) -> RenderConfig:
         return RenderConfig(
             res=tuple(res),
             spp=int(spp),
             integrator=self.integrator,
             sampler=self.sampler,
             use_tent_filter=self.use_tent_filter,
+            it_start=int(it_start),
+            it_count=int(it_count),
         )
 
     def render(self, material, *, res, spp, seed=0):
@@ -181,8 +190,21 @@ class Scene:
         """
         material = jnp.asarray(material)
         assert material.ndim == 3 and material.shape[2] == 4
-        fn = build_render(self._config(res, spp))
-        return fn(material, self._data, self.camera, jnp.asarray(seed, jnp.int32))
+        spp = int(spp)
+        seed = jnp.asarray(seed, jnp.int32)
+        chunk = self.max_spp_per_call
+        if spp <= chunk:
+            fn = build_render(self._config(res, spp))
+            return fn(material, self._data, self.camera, seed)
+        img = None
+        start = 0
+        while start < spp:
+            count = min(chunk, spp - start)
+            fn = build_render(self._config(res, spp, it_start=start, it_count=count))
+            part = fn(material, self._data, self.camera, seed) * (count / spp)
+            img = part if img is None else img + part
+            start += count
+        return img
 
     def render_duvdxy(self, material, *, res, spp, seed=0):
         """Screen-space-to-texture-space Jacobian AOV (render.py:243-257).

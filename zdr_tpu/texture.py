@@ -295,7 +295,25 @@ def _read_bsdf_fwd(uv, material):
 
 def _read_bsdf_bwd(res, g):
     uv, shape = res
-    d_material = write_bsdf_grad(uv, g, jnp.zeros(shape, g.dtype))
+    h, w = shape[0], shape[1]
+    # Plain duplicate-index scatter-add, channel-major. The sorted segment
+    # pipeline (write_bsdf_grad) crashes the TPU worker when executed inside
+    # a vjp context at scale (axon/Mosaic toolchain bug — it is fine at any
+    # size standalone and inside the PRB while_loop); XLA's native duplicate
+    # handling is slower under texel contention but robust everywhere.
+    x0, y0, fx, fy = _texel_coords(uv, h, w)
+    xa, ya = _clamp_xy(x0, y0, h, w)
+    xb, yb = _clamp_xy(x0 + 1, y0 + 1, h, w)
+    ids = jnp.concatenate(
+        [ya * w + xa, yb * w + xa, ya * w + xb, yb * w + xb]
+    )
+    ws = ((1 - fx) * (1 - fy), (1 - fx) * fy, fx * (1 - fy), fx * fy)
+    chans = []
+    for c in range(4):
+        gc = g[..., c]
+        vals = jnp.concatenate([wk * gc for wk in ws])
+        chans.append(jnp.zeros((h * w,), g.dtype).at[ids].add(vals))
+    d_material = jnp.stack(chans, axis=0).T.reshape(h, w, 4)
     return jnp.zeros_like(uv), d_material
 
 
