@@ -97,5 +97,26 @@ def main():
     )
 
 
+def main_with_retry():
+    # the axon tunnel occasionally kills the TPU worker under load and
+    # takes 1-5 min to recover; one retry keeps driver runs robust
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001
+        import sys
+
+        print(f"bench attempt 1 failed ({type(e).__name__}); retrying", file=sys.stderr)
+        for _ in range(10):
+            time.sleep(60)
+            try:
+                import jax.numpy as _j
+
+                if float(_j.ones(8).sum()) == 8.0:
+                    break
+            except Exception:  # noqa: BLE001
+                continue
+        main()
+
+
 if __name__ == "__main__":
-    main()
+    main_with_retry()
