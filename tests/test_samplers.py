@@ -4,6 +4,7 @@ Replaces the reference's eyeballed scatter plots (test_sampler.py) with
 numerical checks (SURVEY.md §4 suggests chi-square)."""
 
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from zdr_tpu.samplers import make_sampler
@@ -174,3 +175,54 @@ class TestCorrMJ:
         g = 4
         cells = set(zip((u[:, 0] * g).astype(int), (u[:, 1] * g).astype(int)))
         assert len(cells) == spp
+
+
+class TestSamplersEndToEnd:
+    """Every sampler kind drives the full render + PRB gradient path."""
+
+    @pytest.mark.parametrize("kind", ["lcg", "pmj02bn", "corrmj"])
+    def test_render_and_grad(self, kind):
+        import jax
+        from zdr_tpu import Camera, Scene, float3
+        from zdr_tpu.geometry.procedural import make_cornell_box, make_cornell_light
+
+        s = Scene(
+            [(make_cornell_box(), None, None), (make_cornell_light(), None, 15.0)],
+            integrator="path",
+            sampler=kind,
+        )
+        s.camera = Camera(
+            fov=0.9, origin=float3(-0.2, 2.6, -0.5), target=float3(-0.2, 2.6, -5.0)
+        )
+        mat = jnp.full((8, 8, 4), 0.5)
+        img = np.asarray(s.render(mat, res=(16, 16), spp=4, seed=0))
+        assert np.isfinite(img).all()
+        assert img[..., :3].mean() > 0.01
+        g = jax.grad(lambda m: jnp.sum(s.render(m, res=(16, 16), spp=4, seed=0)[..., :3]))(mat)
+        assert np.isfinite(np.asarray(g)).all()
+        assert float(jnp.abs(g).sum()) > 0
+
+    def test_stratified_sampler_lowers_variance(self):
+        """pmj02bn should beat lcg on a soft-shadow scene at equal spp."""
+        import jax
+        from zdr_tpu import Camera, Scene, float3
+        from zdr_tpu.geometry.procedural import make_cornell_box, make_cornell_light
+
+        imgs = {}
+        for kind in ["lcg", "pmj02bn"]:
+            s = Scene(
+                [(make_cornell_box(), None, None), (make_cornell_light(), None, 15.0)],
+                integrator="direct",
+                sampler=kind,
+            )
+            s.camera = Camera(
+                fov=0.9, origin=float3(-0.2, 2.6, -0.5), target=float3(-0.2, 2.6, -5.0)
+            )
+            mat = jnp.full((8, 8, 4), 0.5)
+            ref = np.asarray(s.render(mat, res=(24, 24), spp=512, seed=99))
+            errs = []
+            for seed in range(4):
+                lo = np.asarray(s.render(mat, res=(24, 24), spp=8, seed=seed))
+                errs.append(((lo - ref) ** 2).mean())
+            imgs[kind] = np.mean(errs)
+        assert imgs["pmj02bn"] < imgs["lcg"], imgs
