@@ -24,7 +24,7 @@ Public API mirrors the reference (/root/reference/__init__.py:1):
 
 from .dtypes import Camera, float3
 
-__all__ = ["Scene", "Camera", "float3"]
+__all__ = ["Scene", "Camera", "float3", "RenderConfig", "render_sharded", "make_mesh"]
 __version__ = "0.1.0"
 
 
@@ -35,4 +35,16 @@ def __getattr__(name):
         from .scene import Scene
 
         return Scene
+    if name == "RenderConfig":
+        from .integrators.wrapper import RenderConfig
+
+        return RenderConfig
+    if name == "render_sharded":
+        from .parallel import render_sharded
+
+        return render_sharded
+    if name == "make_mesh":
+        from .parallel import make_mesh
+
+        return make_mesh
     raise AttributeError(f"module 'zdr_tpu' has no attribute {name!r}")
