@@ -1,0 +1,106 @@
+"""Render-config knobs + emission-based light gating.
+
+Round-2 items (VERDICT.md 6 & 8): the reference's module-level flags
+(use_MIS direct.py:14, max_depth/rr_depth prb.py:15-16, bilinear
+interaction.py:33) are RenderConfig fields keyed into the compile cache, so
+flipping a knob on a Scene takes effect without a process restart; and light
+identification is by emission rather than the reference's `hit.inst > 0`
+hack (direct.py:30-32), so a scene with several non-emissive instances
+shades all of them.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from zdr_tpu import Camera, Scene, float3
+from zdr_tpu.geometry.procedural import (
+    make_cornell_box,
+    make_cornell_light,
+    make_uv_sphere,
+)
+
+
+def _cbox_scene(integrator):
+    scene = Scene(
+        [(make_cornell_box(), None, None), (make_cornell_light(), None, 15.0)],
+        integrator=integrator,
+    )
+    scene.camera = Camera(
+        fov=50 / 180 * 3.1415926,
+        origin=float3(-0.2, 2.6, -0.5),
+        target=float3(-0.2, 2.6, -5.0),
+    )
+    return scene
+
+
+MAT = jnp.full((32, 32, 4), 0.5, jnp.float32)
+
+
+class TestKnobsTakeEffect:
+    def test_use_mis_flip_changes_direct_render(self):
+        scene = _cbox_scene("direct")
+        img_mis = scene.render(MAT, res=(24, 24), spp=4, seed=0)
+        scene.use_mis = False
+        img_nomis = scene.render(MAT, res=(24, 24), spp=4, seed=0)
+        # different estimator: images agree in expectation, not per-sample
+        assert not np.allclose(np.asarray(img_mis), np.asarray(img_nomis))
+        # flipping back reproduces the original bits (cache keyed correctly)
+        scene.use_mis = True
+        img_again = scene.render(MAT, res=(24, 24), spp=4, seed=0)
+        np.testing.assert_array_equal(np.asarray(img_mis), np.asarray(img_again))
+
+    def test_max_depth_flip_changes_path_render(self):
+        scene = _cbox_scene("path")
+        img16 = scene.render(MAT, res=(16, 16), spp=4, seed=0)
+        scene.max_depth = 1
+        img1 = scene.render(MAT, res=(16, 16), spp=4, seed=0)
+        # depth-1 path = primary emitter/env hits only, strictly less light
+        assert float(jnp.sum(img1[..., :3])) < float(jnp.sum(img16[..., :3]))
+
+    def test_bilinear_flip_changes_filtering(self):
+        scene = _cbox_scene("direct")
+        # high-frequency texture so nearest vs bilinear differ visibly
+        tex = jnp.asarray(
+            np.random.default_rng(0).uniform(0.1, 0.9, (8, 8, 4)), jnp.float32
+        )
+        img_bi = scene.render(tex, res=(24, 24), spp=4, seed=0)
+        scene.bilinear = False
+        img_nn = scene.render(tex, res=(24, 24), spp=4, seed=0)
+        assert not np.allclose(np.asarray(img_bi), np.asarray(img_nn))
+
+    def test_rr_depth_in_config(self):
+        scene = _cbox_scene("path")
+        img_default = scene.render(MAT, res=(16, 16), spp=4, seed=0)
+        scene.rr_depth = 1  # RR starts earlier: different sample outcomes
+        img_rr1 = scene.render(MAT, res=(16, 16), spp=4, seed=0)
+        assert not np.allclose(np.asarray(img_default), np.asarray(img_rr1))
+
+
+class TestEmissionGating:
+    def test_two_diffuse_instances_both_render(self):
+        """A second non-emissive instance must shade, not go black
+        (the reference's inst>0 hack rendered it as a zero-emission light)."""
+        # cbox as instance 0, light, plus a diffuse sphere mid-room in view
+        xf = np.eye(4, dtype=np.float32)
+        xf[:3, 3] = (-0.2, 2.6, -3.0)
+        sphere = make_uv_sphere(radius=0.8, n_lat=8, n_lon=16)
+        for integrator in ("direct", "path"):
+            scene = Scene(
+                [
+                    (make_cornell_box(), None, None),
+                    (make_cornell_light(), None, 15.0),
+                    (sphere, xf, None),
+                ],
+                integrator=integrator,
+            )
+            scene.camera = Camera(
+                fov=50 / 180 * 3.1415926,
+                origin=float3(-0.2, 2.6, -0.5),
+                target=float3(-0.2, 2.6, -5.0),
+            )
+            img = scene.render(MAT, res=(48, 48), spp=8, seed=0)
+            rgb = np.asarray(img[..., :3])
+            # the sphere fills the image center; require non-black shading
+            h, w = rgb.shape[:2]
+            crop = rgb[h // 3 : 2 * h // 3, w // 3 : 2 * w // 3]
+            assert crop.mean() > 1e-3, f"{integrator}: second instance is black"

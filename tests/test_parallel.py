@@ -58,6 +58,34 @@ class TestShardedRender:
         img = render_sharded(scene, mat, res=(16, 16), spp=2, seed=0, mesh=mesh)
         assert img.shape == (16, 16, 4)
 
+    def test_spp_windowing_matches_single_device(self, scene, mesh):
+        """spp > max_spp_per_call slices into the same sample windows the
+        single-device path uses (VERDICT round-1 item 7); forward and
+        gradient must match Scene.render across a window boundary."""
+        mat = jnp.full((8, 8, 4), 0.5)
+        old_chunk = type(scene).max_spp_per_call
+        type(scene).max_spp_per_call = 4  # force windows: spp=10 -> 4+4+2
+        try:
+            sharded = render_sharded(scene, mat, res=(16, 16), spp=10, seed=0, mesh=mesh)
+            single = scene.render(mat, res=(16, 16), spp=10, seed=0)
+            np.testing.assert_allclose(
+                np.asarray(sharded), np.asarray(single), atol=1e-5
+            )
+
+            def loss_sharded(m):
+                img = render_sharded(scene, m, res=(16, 16), spp=10, seed=0, mesh=mesh)
+                return jnp.sum(img[..., :3])
+
+            def loss_single(m):
+                return jnp.sum(scene.render(m, res=(16, 16), spp=10, seed=0)[..., :3])
+
+            g8 = np.asarray(jax.grad(loss_sharded)(mat))
+            g1 = np.asarray(jax.grad(loss_single)(mat))
+            assert np.abs(g8).sum() > 0
+            np.testing.assert_allclose(g8, g1, rtol=1e-4, atol=1e-5)
+        finally:
+            type(scene).max_spp_per_call = old_chunk
+
     def test_indivisible_pixels_raises(self, scene):
         mesh3 = make_mesh(3)
         mat = jnp.full((8, 8, 4), 0.5)

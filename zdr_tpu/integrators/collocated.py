@@ -1,14 +1,19 @@
 """Collocated-light integrator (reference: /root/reference/collocated.py).
 
 A unit point light rides at the camera; one closest-hit, no shadow rays, no
-scene lights. The backward pass is jax.grad of this estimator (backward=None
-in the registry): since everything differentiable flows through read_bsdf ->
-ggx_brdf, JAX's VJP reproduces the reference's in-kernel autodiff + bilinear
-atomic scatter (collocated.py:34-57) exactly.
+scene lights. The hand-written backward mirrors the reference's in-kernel
+autodiff region (collocated.py:34-57): recompute the hit, differentiate the
+shading math w.r.t. the fetched 4-vector, splat through the fast sorted-
+segment scatter (or the unbiased stochastic single-corner splat). It exists
+because jax.grad of the estimator routes the gradient through read_bsdf's
+custom_vjp, whose in-vjp scatter must use the naive duplicate-index path
+(texture.py:_read_bsdf_bwd) — that keeps the reference's texel-contention
+cliff (README.md:21) that this backward removes.
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..accel import trace_closest
@@ -22,7 +27,8 @@ from ..vecmath import dot
 SPECULAR = 0.04  # fixed specular F0, reference collocated.py:25
 
 
-def collocated_estimator(data: SceneData, material, ray_o, ray_d, sampler):
+def _shade_parts(data, material, ray_o, ray_d, bilinear):
+    """Shared fwd/bwd recompute: hit -> (valid, uv, mat, wo_local, li)."""
     hit = trace_closest(data.accel, ray_o, ray_d)
     it = surface_interact(hit, data.geom)
     wo = -ray_d
@@ -31,13 +37,51 @@ def collocated_estimator(data: SceneData, material, ray_o, ray_d, sampler):
         & (dot(wo, it.ng) >= 1e-4)
         & (dot(wo, it.ns) >= 1e-4)
     )
-    mat = read_bsdf(it.uv, material)
+    mat = read_bsdf(it.uv, material, bilinear)
     onb = make_onb(it.ns)
     wo_local = onb.to_local(wo)
-    beta = ggx_brdf(wo_local, wo_local, mat[..., :3], SPECULAR, mat[..., 3])
     li = (1.0 / jnp.maximum(hit.t, 1e-6)) ** 2  # unit intensity, 1/r^2
+    return valid, it.uv, mat, wo_local, li
+
+
+def collocated_estimator(data: SceneData, material, ray_o, ray_d, sampler, cfg=None):
+    bilinear = True if cfg is None else cfg.bilinear
+    valid, _uv, mat, wo_local, li = _shade_parts(data, material, ray_o, ray_d, bilinear)
+    beta = ggx_brdf(wo_local, wo_local, mat[..., :3], SPECULAR, mat[..., 3])
     radiance = beta * li[..., None]
     return jnp.where(valid[..., None], radiance, 0.0)
 
 
-collocated_backward = None  # default jax.grad path (see wrapper.render_grad)
+def collocated_backward(data, material, ray_o, ray_d, sampler, le_grad, cfg=None):
+    """Gradient walk (reference collocated.py:34-57): one recomputed hit,
+    adjoint through the GGX shade only, fast texture splat."""
+    from ..samplers.hashes import lcg_to_unit_float
+    from ..texture import (
+        cm_to_texture,
+        segment_scatter_add,
+        stochastic_corner_ids,
+        write_bsdf_grad,
+    )
+
+    bilinear = True if cfg is None else cfg.bilinear
+    material = jax.lax.stop_gradient(material)
+    valid, uv, mat, wo_local, li = _shade_parts(data, material, ray_o, ray_d, bilinear)
+
+    def shade(mat4):
+        return ggx_brdf(wo_local, wo_local, mat4[..., :3], SPECULAR, mat4[..., 3])
+
+    _, vjp = jax.vjp(shade, mat)
+    ct = jnp.where(valid[..., None], li[..., None] * le_grad, 0.0)
+    (mat_grad,) = vjp(ct)
+    mat_grad = jnp.where(jnp.isnan(mat_grad), 0.0, mat_grad)
+    masked = jnp.where(valid[..., None], mat_grad, 0.0)
+
+    h, w = material.shape[0], material.shape[1]
+    if cfg is not None and getattr(cfg, "stochastic_splat", False) and bilinear:
+        u_splat = lcg_to_unit_float(sampler.salt())
+        ids = stochastic_corner_ids(uv, u_splat, h, w)
+        add = segment_scatter_add(
+            ids, [masked[..., c] for c in range(4)], h * w, channel_major=True
+        )
+        return cm_to_texture(add, h, w)
+    return write_bsdf_grad(uv, masked, jnp.zeros_like(material), bilinear)

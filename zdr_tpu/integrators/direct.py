@@ -31,8 +31,16 @@ from ..vecmath import dot, offset_ray_origin
 sg = jax.lax.stop_gradient
 
 # MIS off: only light samples (good for small lights). MIS on: light + bsdf
-# samples at ~2.6x cost (reference direct.py:11-14).
+# samples at ~2.6x cost (reference direct.py:11-14). Module value is the
+# default; per-render override via RenderConfig.use_mis.
 use_MIS = True
+
+
+def _flags(cfg):
+    """(use_mis, bilinear) for a config (module defaults when cfg is None)."""
+    if cfg is None:
+        return use_MIS, True
+    return cfg.use_mis, cfg.bilinear
 
 SPECULAR = 0.04
 
@@ -41,7 +49,8 @@ def balanced_heuristic(pdf_a, pdf_b):
     return pdf_a / jnp.maximum(pdf_a + pdf_b, 1e-4)
 
 
-def direct_estimator(data: SceneData, material, ray_o, ray_d, sampler):
+def direct_estimator(data: SceneData, material, ray_o, ray_d, sampler, cfg=None):
+    mis_on, bilinear = _flags(cfg)
     hit = trace_closest(data.accel, ray_o, ray_d)
     it = surface_interact(hit, data.geom)
     wo = -ray_d
@@ -54,11 +63,14 @@ def direct_estimator(data: SceneData, material, ray_o, ray_d, sampler):
     frontfacing = (dot(wo, it.ng) >= 1e-4) & (dot(wo, it.ns) >= 1e-4)
     inst = jnp.maximum(hit.inst, 0)
     emission = gather_rows(data.emission, inst)
-    # reference hack (direct.py:30-32): every instance except #0 is a light
-    hit_light = hit.inst > 0
+    # Deviation from the reference's `hit.inst > 0` light hack
+    # (direct.py:30-32): emissive instances are lights, everything else is
+    # shaded -- identical for reference-style scenes (object #0 + emissive
+    # lights), and a second diffuse instance renders instead of going black.
+    hit_light = jnp.any(emission > 0.0, axis=-1)
     shade = (~hit.miss) & frontfacing & (~hit_light)
 
-    mat = read_bsdf(it.uv, material)
+    mat = read_bsdf(it.uv, material, bilinear)
     diffuse = mat[..., :3]
     roughness = mat[..., 3]
     onb = make_onb(it.ns)
@@ -72,7 +84,7 @@ def direct_estimator(data: SceneData, material, ray_o, ray_d, sampler):
     wi_light_local = onb.to_local(light.wi)
     nee_ok = shade & (~occluded) & (wi_light_local[..., 2] > 0.0)
     bsdf_nee = ggx_brdf(wo_local, wi_light_local, diffuse, SPECULAR, roughness)
-    if use_MIS:
+    if mis_on:
         pdf_bsdf_at_light = sg(
             ggx_sample_pdf(wo_local, wi_light_local, roughness)
         )
@@ -86,7 +98,7 @@ def direct_estimator(data: SceneData, material, ray_o, ray_d, sampler):
     )
     radiance = jnp.where(nee_ok[..., None], nee_contrib, 0.0)
 
-    if use_MIS:
+    if mis_on:
         # ---- BSDF sample: one more bounce looking for emitters (direct.py:58-83)
         u_lobe, sampler = sampler.next1()
         u2, sampler = sampler.next2()
@@ -150,15 +162,17 @@ def direct_backward(data, material, ray_o, ray_d, sampler, le_grad, cfg=None):
         write_bsdf_grad,
     )
 
+    mis_on, bilinear = _flags(cfg)
     material = sg(material)
     hit = trace_closest(data.accel, ray_o, ray_d)
     it = surface_interact(hit, data.geom)
     wo = -ray_d
     frontfacing = (dot(wo, it.ng) >= 1e-4) & (dot(wo, it.ns) >= 1e-4)
-    hit_light = hit.inst > 0
+    inst0 = jnp.maximum(hit.inst, 0)
+    hit_light = jnp.any(gather_rows(data.emission, inst0) > 0.0, axis=-1)
     shade = (~hit.miss) & frontfacing & (~hit_light)
 
-    mat = read_bsdf(it.uv, material)
+    mat = read_bsdf(it.uv, material, bilinear)
     onb = make_onb(it.ns)
     wo_local = onb.to_local(wo)
 
@@ -167,7 +181,7 @@ def direct_backward(data, material, ray_o, ray_d, sampler, le_grad, cfg=None):
     occluded = trace_any(data.accel, it.p, light.wi, t_min=1e-4, t_max=light.dist)
     wi_light_local = onb.to_local(light.wi)
     nee_ok = shade & (~occluded) & (wi_light_local[..., 2] > 0.0)
-    if use_MIS:
+    if mis_on:
         pdf_b = ggx_sample_pdf(wo_local, wi_light_local, mat[..., 3])
         mis_nee = balanced_heuristic(light.pdf, pdf_b)
     else:
@@ -175,7 +189,7 @@ def direct_backward(data, material, ray_o, ray_d, sampler, le_grad, cfg=None):
     nee_w = (mis_nee / jnp.maximum(light.pdf, 1e-4))[..., None] * light.eval
 
     # BSDF branch (direct.py:140-165)
-    if use_MIS:
+    if mis_on:
         u_lobe, sampler = sampler.next1()
         u2, sampler = sampler.next2()
         wi_local = ggx_sample(wo_local, mat[..., 3], u_lobe, u2)
@@ -207,7 +221,7 @@ def direct_backward(data, material, ray_o, ray_d, sampler, le_grad, cfg=None):
 
     def shade_fn(mat4):
         b_nee = ggx_brdf(wo_local, wi_light_local, mat4[..., :3], SPECULAR, mat4[..., 3])
-        if use_MIS:
+        if mis_on:
             b_bounce = ggx_brdf(wo_local, wi_local, mat4[..., :3], SPECULAR, mat4[..., 3])
         else:
             b_bounce = jnp.zeros_like(b_nee)
@@ -215,13 +229,13 @@ def direct_backward(data, material, ray_o, ray_d, sampler, le_grad, cfg=None):
 
     _, vjp = jax.vjp(shade_fn, mat)
     ct_nee = jnp.where(nee_ok[..., None], nee_w * le_grad, 0.0)
-    if use_MIS:
+    if mis_on:
         ct_bounce = jnp.where(usable2[..., None], bounce_w * le_grad, 0.0)
     else:
         ct_bounce = jnp.zeros_like(ct_nee)
     (mat_grad,) = vjp((ct_nee, ct_bounce))
     mat_grad = jnp.where(jnp.isnan(mat_grad), 0.0, mat_grad)
-    grad_on = nee_ok | (usable2 if use_MIS else jnp.zeros_like(nee_ok))
+    grad_on = nee_ok | (usable2 if mis_on else jnp.zeros_like(nee_ok))
     masked = jnp.where(grad_on[..., None], mat_grad, 0.0)
 
     h, w = material.shape[0], material.shape[1]

@@ -47,9 +47,16 @@ from ..vecmath import dot, luminance, offset_ray_origin
 
 sg = jax.lax.stop_gradient
 
-max_depth = 16  # reference prb.py:15
-rr_depth = 2  # reference prb.py:16
+max_depth = 16  # default; per-render override via RenderConfig.max_depth (ref prb.py:15)
+rr_depth = 2  # default; RenderConfig.rr_depth (ref prb.py:16)
 SPECULAR = 0.04
+
+
+def _depths(cfg):
+    """(max_depth, rr_depth) for a config (module defaults when cfg is None)."""
+    if cfg is None:
+        return max_depth, rr_depth
+    return cfg.max_depth, cfg.rr_depth
 
 
 def balanced_heuristic(pdf_a, pdf_b):
@@ -77,8 +84,9 @@ class _Vertex(NamedTuple):
     rr_scale: jnp.ndarray  # (N,) 1/q where RR survived, 1 otherwise
 
 
-def _walk_one_bounce(data: SceneData, material, o, d, pdf_bsdf_prev, active, sampler):
+def _walk_one_bounce(data: SceneData, material, o, d, pdf_bsdf_prev, active, sampler, cfg=None):
     """Shared per-bounce logic. Returns (_Vertex, sampler)."""
+    bilinear = True if cfg is None else cfg.bilinear
     hit = trace_closest(data.accel, o, d)
     it = surface_interact(hit, data.geom)
     wo = -d
@@ -107,10 +115,15 @@ def _walk_one_bounce(data: SceneData, material, o, d, pdf_bsdf_prev, active, sam
         jnp.where((active & ~hit.miss & frontfacing & emissive)[..., None], emit_add, 0.0),
     )
 
-    # lanes that keep shading: hit instance 0, frontfacing, non-emissive
-    shade = active & ~hit.miss & frontfacing & ~emissive & (hit.inst == 0)
+    # lanes that keep shading: frontfacing, non-emissive. Deviation from the
+    # reference's `hit.inst > 0` light hack (ref direct.py:30-32, prb.py:45-46
+    # — there only instance #0 is ever shaded): gating on emission means a
+    # scene with several non-emissive instances shades all of them; behavior
+    # is identical for every reference-style scene (object at #0, emissive
+    # lights after).
+    shade = active & ~hit.miss & frontfacing & ~emissive
 
-    mat = read_bsdf(it.uv, material)
+    mat = read_bsdf(it.uv, material, bilinear)
     diffuse = mat[..., :3]
     roughness = mat[..., 3]
     onb = make_onb(it.ns)
@@ -163,29 +176,30 @@ def _walk_one_bounce(data: SceneData, material, o, d, pdf_bsdf_prev, active, sam
     )
 
 
-def _apply_rr(depth, beta, active, u_rr):
+def _apply_rr(depth, beta, active, u_rr, rr_d=rr_depth):
     """RR survival on luminance of beta (prb.py:79-87). Returns
     (active', scale) where scale multiplies beta (1/q on survival)."""
     lum = luminance(beta)
     q = jnp.maximum(lum, 0.05)
-    do_rr = depth >= rr_depth
+    do_rr = depth >= rr_d
     dead = do_rr & ((lum == 0.0) | (u_rr >= q))
     scale = jnp.where(do_rr & ~dead & active, 1.0 / q, 1.0)
     return active & ~dead, scale
 
 
-def path_estimator(data: SceneData, material, ray_o, ray_d, sampler):
+def path_estimator(data: SceneData, material, ray_o, ray_d, sampler, cfg=None):
     """Forward path trace -> (N, 3) radiance."""
     N = ray_o.shape[0]
+    md, rr_d = _depths(cfg)
 
     def body(carry, depth):
         o, d, beta, pdf_prev, radiance, active, smp = carry
-        v, smp = _walk_one_bounce(data, material, o, d, pdf_prev, active, smp)
+        v, smp = _walk_one_bounce(data, material, o, d, pdf_prev, active, smp, cfg)
         radiance = radiance + beta * v.add_emit
         nee_contrib = v.bsdf_nee * (v.nee_weight[..., None]) * v.nee_light_eval
         radiance = radiance + jnp.where(v.nee_ok[..., None], beta * nee_contrib, 0.0)
         beta_next = beta * v.bsdf_bounce / jnp.maximum(v.pdf_bounce, 1e-9)[..., None]
-        active2, rr = _apply_rr(depth, beta_next, v.active, v.rr_scale)
+        active2, rr = _apply_rr(depth, beta_next, v.active, v.rr_scale, rr_d)
         beta_next = beta_next * rr[..., None]
         beta_out = jnp.where(active2[..., None], beta_next, beta)
         return (
@@ -208,7 +222,7 @@ def path_estimator(data: SceneData, material, ray_o, ray_d, sampler):
         sampler,
     )
     (o, d, beta, pdf, radiance, active, smp), _ = jax.lax.scan(
-        body, init, jnp.arange(max_depth)
+        body, init, jnp.arange(md)
     )
     return radiance
 
@@ -217,10 +231,11 @@ def path_backward(data: SceneData, material, ray_o, ray_d, sampler, le_grad, cfg
     """PRB gradient walk -> d_material (H, W, 4) contribution for this pass."""
     stochastic = cfg is not None and getattr(cfg, "stochastic_splat", False)
     N = ray_o.shape[0]
+    md, rr_d = _depths(cfg)
     material = sg(material)
 
     # 1) replay forward with an identical stream to get total Le (prb.py:96-99)
-    Le = path_estimator(data, material, ray_o, ray_d, sampler)
+    Le = path_estimator(data, material, ray_o, ray_d, sampler, cfg)
     le_ok = ~jnp.any(jnp.isnan(Le), axis=-1, keepdims=True)
     Le = jnp.where(le_ok, Le, 0.0)
     le_grad = jnp.where(le_ok, le_grad, 0.0)
@@ -228,7 +243,7 @@ def path_backward(data: SceneData, material, ray_o, ray_d, sampler, le_grad, cfg
     # 2) second walk, injecting adjoints per bounce
     def body(carry, depth):
         o, d, beta, pdf_prev, Le_c, active, smp, d_mat = carry
-        v, smp = _walk_one_bounce(data, material, o, d, pdf_prev, active, smp)
+        v, smp = _walk_one_bounce(data, material, o, d, pdf_prev, active, smp, cfg)
 
         # subtract this vertex's emitter/env contribution (prb.py:120)
         Le_c = Le_c - beta * v.add_emit
@@ -269,7 +284,7 @@ def path_backward(data: SceneData, material, ray_o, ray_d, sampler, le_grad, cfg
             d_mat = write_bsdf_grad(v.uv, masked_grad, d_mat)
 
         beta_next = beta * b_bounce * inv_pdf[..., None]
-        active2, rr = _apply_rr(depth, beta_next, v.active, v.rr_scale)
+        active2, rr = _apply_rr(depth, beta_next, v.active, v.rr_scale, rr_d)
         beta_next = beta_next * rr[..., None]
         beta_out = jnp.where(active2[..., None], beta_next, beta)
         return (
@@ -293,26 +308,27 @@ def path_backward(data: SceneData, material, ray_o, ray_d, sampler, le_grad, cfg
         sampler,
         jnp.zeros_like(material),
     )
-    out, _ = jax.lax.scan(body, init, jnp.arange(max_depth))
+    out, _ = jax.lax.scan(body, init, jnp.arange(md))
     return out[-1]
 
 
-def path_stats(data: SceneData, material, ray_o, ray_d, sampler):
+def path_stats(data: SceneData, material, ray_o, ray_d, sampler, cfg=None):
     """Observability probe: average closest-hit and shadow traces per camera
     sample (the reference has no tracing/profiling at all — SURVEY.md §5).
     Used by bench.py to convert wall-clock into Mrays/s honestly."""
     N = ray_o.shape[0]
+    md, rr_d = _depths(cfg)
 
     def body(carry, depth):
         o, d, beta, pdf_prev, active, smp, n_closest, n_shadow = carry
         # every live lane costs one closest trace; shading lanes cost one
         # shadow trace (NEE fires for every shading lane)
         n_closest = n_closest + jnp.sum(active)
-        v, smp = _walk_one_bounce(data, material, o, d, pdf_prev, active, smp)
+        v, smp = _walk_one_bounce(data, material, o, d, pdf_prev, active, smp, cfg)
         shading = v.nee_ok | v.active  # lanes that ran the NEE shadow ray
         n_shadow = n_shadow + jnp.sum(shading)
         beta_next = beta * v.bsdf_bounce / jnp.maximum(v.pdf_bounce, 1e-9)[..., None]
-        active2, rr = _apply_rr(depth, beta_next, v.active, v.rr_scale)
+        active2, rr = _apply_rr(depth, beta_next, v.active, v.rr_scale, rr_d)
         beta_out = jnp.where(active2[..., None], beta_next * rr[..., None], beta)
         return (
             v.next_o, v.next_d, beta_out,
@@ -329,6 +345,6 @@ def path_stats(data: SceneData, material, ray_o, ray_d, sampler):
         jnp.zeros((), jnp.float32),
         jnp.zeros((), jnp.float32),
     )
-    out, _ = jax.lax.scan(body, init, jnp.arange(max_depth))
+    out, _ = jax.lax.scan(body, init, jnp.arange(md))
     n_closest, n_shadow = out[-2], out[-1]
     return n_closest / N, n_shadow / N

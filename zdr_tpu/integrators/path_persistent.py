@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from ..camera import generate_ray, tent_warp
 from ..samplers import make_sampler
 from ..scenedata import SceneData
-from .path import _apply_rr, _walk_one_bounce, max_depth
+from .path import _apply_rr, _depths, _walk_one_bounce
 from .wrapper import RADIANCE_CLAMP
 
 SCATTER_BATCH = 4  # bounces of splat entries buffered per scatter flush
@@ -74,6 +74,7 @@ def render_path_persistent(
     start_idx = jnp.repeat(jnp.array(starts, jnp.int32), n_pix)
     stop_idx = jnp.repeat(jnp.array(stops, jnp.int32), n_pix)
 
+    md, rr_d = _depths(cfg)
     sampler0, o0, d0 = _start_sample(
         coords, camera, seed, spp, start_idx, cfg.res,
         cfg.use_tent_filter, cfg.sampler,
@@ -93,7 +94,7 @@ def render_path_persistent(
         jnp.zeros((), jnp.int32),  # global iteration counter (safety bound)
     )
 
-    max_iters = (base + 1) * max_depth + max_depth
+    max_iters = (base + 1) * md + md
 
     def cond(s):
         sample_idx = s[0]
@@ -103,14 +104,14 @@ def render_path_persistent(
         sample_idx, acc, cur, beta, pdf_prev, o, d, smp, depth, it = s
         lane_live = sample_idx < stop_idx
 
-        v, smp = _walk_one_bounce(data, material, o, d, pdf_prev, lane_live, smp)
+        v, smp = _walk_one_bounce(data, material, o, d, pdf_prev, lane_live, smp, cfg)
         cur = cur + beta * v.add_emit
         nee = v.bsdf_nee * v.nee_weight[..., None] * v.nee_light_eval
         cur = cur + jnp.where(v.nee_ok[..., None], beta * nee, 0.0)
 
         beta_next = beta * v.bsdf_bounce / jnp.maximum(v.pdf_bounce, 1e-9)[..., None]
-        path_alive, rr = _apply_rr(depth, beta_next, v.active, v.rr_scale)
-        path_alive = path_alive & (depth + 1 < max_depth)
+        path_alive, rr = _apply_rr(depth, beta_next, v.active, v.rr_scale, rr_d)
+        path_alive = path_alive & (depth + 1 < md)
         beta_next = beta_next * rr[..., None]
 
         # terminated paths: commit the sample (NaN guard + clamp,
@@ -188,6 +189,7 @@ def render_path_backward_persistent(
     start_idx = jnp.repeat(jnp.array(starts, jnp.int32), n_pix)
     stop_idx = jnp.repeat(jnp.array(stops, jnp.int32), n_pix)
     sg = jax.lax.stop_gradient
+    md, rr_d = _depths(cfg)
     material = sg(material)
 
     sampler0, o0, d0 = _start_sample(
@@ -234,7 +236,7 @@ def render_path_backward_persistent(
         )
         return d_mat + add
 
-    max_iters = 2 * (base + 1) * max_depth + 2 * max_depth
+    max_iters = 2 * (base + 1) * md + 2 * md
 
     def cond(s):
         return jnp.any(s["sample_idx"] < stop_idx) & (s["it"] < max_iters)
@@ -245,7 +247,7 @@ def render_path_backward_persistent(
         beta = s["beta"]
 
         v, smp = _walk_one_bounce(
-            data, material, s["o"], s["d"], s["pdf_prev"], lane_live, s["smp"]
+            data, material, s["o"], s["d"], s["pdf_prev"], lane_live, s["smp"], cfg
         )
 
         # ---- phase 0: accumulate Le
@@ -316,8 +318,8 @@ def render_path_backward_persistent(
 
         # ---- continuation / termination
         beta_next = beta * v.bsdf_bounce * inv_pdf[..., None]
-        path_alive, rr = _apply_rr(s["depth"], beta_next, v.active, v.rr_scale)
-        path_alive = path_alive & (s["depth"] + 1 < max_depth)
+        path_alive, rr = _apply_rr(s["depth"], beta_next, v.active, v.rr_scale, rr_d)
+        path_alive = path_alive & (s["depth"] + 1 < md)
         beta_next = beta_next * rr[..., None]
         terminated = lane_live & ~path_alive
 

@@ -40,6 +40,14 @@ class RenderConfig:
     integrator: str = "direct"
     sampler: str = "lcg"
     use_tent_filter: bool = True
+    # direct integrator: MIS (light + BSDF sampling) vs light-only
+    # (reference direct.py:11-14; was a module-level flag there)
+    use_mis: bool = True
+    # path integrator depth / Russian-roulette start (reference prb.py:15-16)
+    max_depth: int = 16
+    rr_depth: int = 2
+    # bilinear vs nearest material-texture filtering (ref interaction.py:33)
+    bilinear: bool = True
     # path integrator: persistent-lane forward (dead paths immediately
     # restart on the lane's next spp sample — see path_persistent.py)
     persistent: bool = True
@@ -110,7 +118,7 @@ def render_forward_rays(
     def one_sample(acc, it):
         sampler = make_sampler(cfg.sampler, coords, seed, cfg.spp, it)
         o, d, sampler = _primary_rays(coords, camera, sampler, cfg.res, cfg.use_tent_filter)
-        radiance = estimator(data, material, o, d, sampler)
+        radiance = estimator(data, material, o, d, sampler, cfg)
         good = ~jnp.any(jnp.isnan(radiance), axis=-1, keepdims=True)
         radiance = jnp.where(good, jnp.clip(radiance, 0.0, RADIANCE_CLAMP), 0.0)
         return acc + radiance, None
@@ -168,7 +176,7 @@ def render_grad_rays(
             contrib = backward(data, material, o, d, sampler, le_grad, cfg)
         else:
             def weighted(mat):
-                radiance = estimator(data, mat, o, d, sampler)
+                radiance = estimator(data, mat, o, d, sampler, cfg)
                 radiance = jnp.where(jnp.isnan(radiance), 0.0, radiance)
                 return jnp.sum(radiance * le_grad)
 

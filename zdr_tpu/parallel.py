@@ -84,7 +84,9 @@ def build_render_sharded(cfg: RenderConfig, mesh: Mesh) -> Callable:
 
     def grad_impl(material, data, camera, seed, d_image):
         coords = _pixel_grid(cfg.res)
-        le_grad = d_image[..., :3].reshape(h * w, 3) / cfg.spp
+        # per-sample adjoint of this WINDOW's mean (matches wrapper.render_grad)
+        _, count = cfg.window
+        le_grad = d_image[..., :3].reshape(h * w, 3) / count
         le_grad = jnp.where(jnp.isnan(le_grad), 0.0, le_grad)
 
         def body(coords_shard, le_shard, material, data, camera, seed):
@@ -134,11 +136,28 @@ def render_sharded(
     mesh: Optional[Mesh] = None,
 ):
     """Scene.render, but sharded over a device mesh (defaults to all
-    devices). Differentiable w.r.t. material like Scene.render."""
+    devices). Differentiable w.r.t. material like Scene.render.
+
+    Big-spp jobs are sliced into the same sample windows Scene.render uses
+    (scene.max_spp_per_call), so per-device executions stay under the remote
+    worker's time limit and results bit-match the single-device path."""
     if mesh is None:
         mesh = make_mesh()
-    cfg = scene._config(res, spp)
-    fn = build_render_sharded(cfg, mesh)
-    return fn(
-        jnp.asarray(material), scene._data, scene.camera, jnp.asarray(seed, jnp.int32)
-    )
+    material = jnp.asarray(material)
+    seed = jnp.asarray(seed, jnp.int32)
+    spp = int(spp)
+    chunk = scene.max_spp_per_call
+    if spp <= chunk:
+        fn = build_render_sharded(scene._config(res, spp), mesh)
+        return fn(material, scene._data, scene.camera, seed)
+    img = None
+    start = 0
+    while start < spp:
+        count = min(chunk, spp - start)
+        fn = build_render_sharded(
+            scene._config(res, spp, it_start=start, it_count=count), mesh
+        )
+        part = fn(material, scene._data, scene.camera, seed) * (count / spp)
+        img = part if img is None else img + part
+        start += count
+    return img

@@ -91,6 +91,13 @@ class Scene:
         self.integrator = integrator
         self.sampler = sampler
         self.use_tent_filter = True
+        # render knobs (the reference's module-level flags, now per-scene and
+        # compile-cache-keyed through RenderConfig — flipping any of these
+        # takes effect on the next render, no process restart):
+        self.use_mis = True  # ref direct.py:14
+        self.max_depth = 16  # ref prb.py:15
+        self.rr_depth = 2  # ref prb.py:16
+        self.bilinear = True  # ref interaction.py:33
         self.emissions = emissions  # user-visible record (render.py:120)
 
     # ------------------------------------------------------------- lights
@@ -175,6 +182,10 @@ class Scene:
             integrator=self.integrator,
             sampler=self.sampler,
             use_tent_filter=self.use_tent_filter,
+            use_mis=bool(self.use_mis),
+            max_depth=int(self.max_depth),
+            rr_depth=int(self.rr_depth),
+            bilinear=bool(self.bilinear),
             it_start=int(it_start),
             it_count=int(it_count),
         )

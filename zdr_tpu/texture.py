@@ -28,7 +28,8 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-BILINEAR = True  # module flag, like reference interaction.py:33
+BILINEAR = True  # default filter mode (ref interaction.py:33); per-render
+# override via RenderConfig.bilinear — threaded through read_bsdf(bilinear=)
 
 
 def _texel_coords(uv: jnp.ndarray, h: int, w: int):
@@ -148,9 +149,9 @@ def _read_bsdf_quads(uv: jnp.ndarray, packed: jnp.ndarray, h: int, w: int) -> jn
     )
 
 
-def _read_bsdf_impl(uv: jnp.ndarray, material: jnp.ndarray) -> jnp.ndarray:
+def _read_bsdf_impl(uv: jnp.ndarray, material: jnp.ndarray, bilinear: bool = BILINEAR) -> jnp.ndarray:
     h, w = material.shape[0], material.shape[1]
-    if not BILINEAR:
+    if not bilinear:
         x = jnp.clip((uv[..., 0] * (w - 1) + 0.4999).astype(jnp.int32), 0, w - 1)
         y = jnp.clip(((1.0 - uv[..., 1]) * (h - 1) + 0.4999).astype(jnp.int32), 0, h - 1)
         return material[y, x]
@@ -163,13 +164,14 @@ def _read_bsdf_impl(uv: jnp.ndarray, material: jnp.ndarray) -> jnp.ndarray:
 
 
 def write_bsdf_grad(
-    uv: jnp.ndarray, dmat: jnp.ndarray, d_material: jnp.ndarray
+    uv: jnp.ndarray, dmat: jnp.ndarray, d_material: jnp.ndarray,
+    bilinear: bool = BILINEAR,
 ) -> jnp.ndarray:
     """Scatter-add per-sample gradients (N,4) into the texture gradient
     (H,W,4) with bilinear corner weights; returns updated d_material.
     This is exactly the VJP of read_bsdf w.r.t. material."""
     h, w = d_material.shape[0], d_material.shape[1]
-    if not BILINEAR:
+    if not bilinear:
         x = jnp.clip((uv[..., 0] * (w - 1) + 0.4999).astype(jnp.int32), 0, w - 1)
         y = jnp.clip(((1.0 - uv[..., 1]) * (h - 1) + 0.4999).astype(jnp.int32), 0, h - 1)
         add = segment_scatter_add(y * w + x, dmat, h * w).reshape(h, w, 4)
@@ -280,20 +282,16 @@ def cm_to_texture(d_material_cm: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     )
 
 
-@jax.custom_vjp
-def read_bsdf(uv: jnp.ndarray, material: jnp.ndarray) -> jnp.ndarray:
-    """Sample the material texture at uv. material: (H,W,4) -> (N,4).
-    Differentiable w.r.t. material (fast sorted-segment scatter transpose);
-    uv is treated as non-differentiable (geometry never carries material
-    gradients in the reference either)."""
-    return _read_bsdf_impl(uv, material)
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _read_bsdf_cv(bilinear: bool, uv: jnp.ndarray, material: jnp.ndarray):
+    return _read_bsdf_impl(uv, material, bilinear)
 
 
-def _read_bsdf_fwd(uv, material):
-    return _read_bsdf_impl(uv, material), (uv, material.shape)
+def _read_bsdf_fwd(bilinear, uv, material):
+    return _read_bsdf_impl(uv, material, bilinear), (uv, material.shape)
 
 
-def _read_bsdf_bwd(res, g):
+def _read_bsdf_bwd(bilinear, res, g):
     uv, shape = res
     h, w = shape[0], shape[1]
     # Plain duplicate-index scatter-add, channel-major. The sorted segment
@@ -301,6 +299,14 @@ def _read_bsdf_bwd(res, g):
     # a vjp context at scale (axon/Mosaic toolchain bug — it is fine at any
     # size standalone and inside the PRB while_loop); XLA's native duplicate
     # handling is slower under texel contention but robust everywhere.
+    if not bilinear:
+        x = jnp.clip((uv[..., 0] * (w - 1) + 0.4999).astype(jnp.int32), 0, w - 1)
+        y = jnp.clip(((1.0 - uv[..., 1]) * (h - 1) + 0.4999).astype(jnp.int32), 0, h - 1)
+        ids = y * w + x
+        chans = [
+            jnp.zeros((h * w,), g.dtype).at[ids].add(g[..., c]) for c in range(4)
+        ]
+        return jnp.zeros_like(uv), jnp.stack(chans, axis=0).T.reshape(h, w, 4)
     x0, y0, fx, fy = _texel_coords(uv, h, w)
     xa, ya = _clamp_xy(x0, y0, h, w)
     xb, yb = _clamp_xy(x0 + 1, y0 + 1, h, w)
@@ -317,4 +323,13 @@ def _read_bsdf_bwd(res, g):
     return jnp.zeros_like(uv), d_material
 
 
-read_bsdf.defvjp(_read_bsdf_fwd, _read_bsdf_bwd)
+_read_bsdf_cv.defvjp(_read_bsdf_fwd, _read_bsdf_bwd)
+
+
+def read_bsdf(uv: jnp.ndarray, material: jnp.ndarray, bilinear: bool = BILINEAR):
+    """Sample the material texture at uv. material: (H,W,4) -> (N,4).
+    Differentiable w.r.t. material (fast sorted-segment scatter transpose);
+    uv is treated as non-differentiable (geometry never carries material
+    gradients in the reference either). `bilinear` selects the filter mode
+    per call (static; RenderConfig.bilinear threads it through)."""
+    return _read_bsdf_cv(bool(bilinear), uv, material)
