@@ -3,9 +3,15 @@
 Renders a ground-truth image of a textured sphere under an environment
 light, then recovers the material texture (diffuse RGB + roughness) from
 scratch with Adam. The reference's missing assets (empty_workshop_4k.exr,
-wood textures) are replaced by procedural equivalents.
+wood textures) are replaced by procedural equivalents — or supplied via
+--material (a PNG/EXR diffuse texture and optional roughness map, loaded
+like reference example.py:13-18 with the same **2.2 sRGB->linear mapping)
+and --envmap (an equirect EXR). Outputs are written as EXR (HDR images,
+diffuse/roughness like reference example.py:92-96) plus PNG previews, via
+the built-in EXR codec (zdr_tpu.imageio_exr — this environment has no EXR
+backend).
 
-Run:  python apps/example.py [--small]
+Run:  python apps/example.py [--small] [--material d.png[,r.png]] [--envmap e.exr]
 """
 
 from __future__ import annotations
@@ -41,11 +47,40 @@ def procedural_wood(res: int) -> jnp.ndarray:
     return jnp.asarray(np.clip(mat, 1e-3, 1.0))
 
 
+def load_material_files(spec: str, tex_res: int) -> jnp.ndarray:
+    """Load a ground-truth material from image files, reference
+    example.py:13-18 style: 'diffuse.png[,roughness.png]' -> (R, R, 4) with
+    sRGB->linear (**2.2) applied to LDR diffuse. Missing roughness map ->
+    constant 0.5 (the reference's wood asset carries one; procedural scenes
+    may not)."""
+    from zdr_tpu.imageio_exr import load_image
+
+    parts = spec.split(",")
+    d = load_image(parts[0])[..., :3]
+    if not parts[0].lower().endswith(".exr"):
+        d = d**2.2
+    if len(parts) > 1:
+        r = load_image(parts[1])
+        r = r[..., 0] if r.ndim == 3 else r
+    else:
+        r = np.full(d.shape[:2], 0.5, np.float32)
+    mat = np.concatenate([d, r[..., None]], axis=-1).astype(np.float32)
+    if mat.shape[0] != tex_res:
+        # nearest resize to the optimization resolution
+        yi = (np.arange(tex_res) * mat.shape[0] / tex_res).astype(int)
+        xi = (np.arange(tex_res) * mat.shape[1] / tex_res).astype(int)
+        mat = mat[yi][:, xi]
+    return jnp.asarray(np.clip(mat, 1e-3, 1.0))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true", help="CI-sized run")
     ap.add_argument("--iters", type=int, default=None)
     ap.add_argument("--out", default="results")
+    ap.add_argument("--material", default=None,
+                    help="GT material images: diffuse.png[,roughness.png]")
+    ap.add_argument("--envmap", default=None, help="equirect EXR/PNG envmap")
     args = ap.parse_args()
 
     if args.small:
@@ -56,7 +91,12 @@ def main():
         iters = args.iters
 
     scene = Scene([(make_uv_sphere(0.5), None, None)], integrator="direct")
-    scene.add_envmap(make_test_envmap(256, 512))
+    if args.envmap:
+        from zdr_tpu.imageio_exr import load_image
+
+        scene.add_envmap(jnp.asarray(load_image(args.envmap)[..., :3]))
+    else:
+        scene.add_envmap(make_test_envmap(256, 512))
     scene.camera = Camera(
         fov=50 / 180 * 3.1415926,
         origin=float3(1.0, 0.0, 0.0),
@@ -64,7 +104,10 @@ def main():
         up=float3(0.0, 1.0, 0.0),
     )
 
-    material_gt = procedural_wood(tex_res)
+    if args.material:
+        material_gt = load_material_files(args.material, tex_res)
+    else:
+        material_gt = procedural_wood(tex_res)
     print("Image resolution:", img_res, " Texture resolution:", tex_res)
 
     t0 = time.time()
@@ -105,13 +148,25 @@ def main():
     tex_err = float(jnp.abs(material - material_gt).mean())
     print("final image MSE:", mse, " mean |tex err|:", tex_err)
 
+    # EXR outputs (reference example.py:92-96) + PNG previews + the duvdxy
+    # footprint AOV (reference example.py:61-67)
+    from zdr_tpu.imageio_exr import save_image
+
     os.makedirs(args.out, exist_ok=True)
+    footprint = jnp.abs(
+        duvdxy[..., 0] * duvdxy[..., 3] - duvdxy[..., 1] * duvdxy[..., 2]
+    )
     for name, arr in [
-        ("gt", I_gt), ("recon", I), ("diffuse", material[..., :3]),
-        ("roughness", material[..., 3:]),
+        ("gt", I_gt[..., :3]),
+        ("recon", I[..., :3]),
+        ("diffuse", material[..., :3]),
+        ("roughness", jnp.repeat(material[..., 3:], 3, axis=-1)),
+        ("duvdxy_det", jnp.repeat(footprint[..., None], 3, axis=-1)),
     ]:
-        np.save(os.path.join(args.out, f"{name}.npy"), np.asarray(arr))
-    print("wrote results to", args.out)
+        arr = np.asarray(arr)
+        save_image(os.path.join(args.out, f"{name}.exr"), arr)
+        save_image(os.path.join(args.out, f"{name}.png"), np.clip(arr, 0, 1) ** (1 / 2.2))
+    print("wrote EXR + PNG results to", args.out)
     return mse
 
 

@@ -19,7 +19,14 @@ class TestExample:
         mse = example.main()
         # recovered image should be close to GT after a few Adam steps
         assert mse < 0.2, mse
-        assert (tmp_path / "diffuse.npy").exists()
+        # EXR + PNG workflow outputs (reference example.py:92-96)
+        from zdr_tpu.imageio_exr import load_exr
+
+        for name in ["diffuse", "roughness", "gt", "recon", "duvdxy_det"]:
+            assert (tmp_path / f"{name}.exr").exists()
+            assert (tmp_path / f"{name}.png").exists()
+        d = load_exr(str(tmp_path / "diffuse.exr"))
+        assert d.ndim == 3 and d.shape[2] == 3
 
 
 class TestLightstage:

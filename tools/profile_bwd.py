@@ -38,7 +38,7 @@ def timeit(name, fn, *args, iters=2):
         out = fn(*args)
     sync(out)
     dt = (time.perf_counter() - t0) / iters
-    print(f"{name:>14s}: {dt*1e3:9.1f} ms")
+    print(f"{name:>14s}: {dt*1e3:9.1f} ms", flush=True)
     return dt
 
 
