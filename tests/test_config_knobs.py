@@ -104,3 +104,25 @@ class TestEmissionGating:
             h, w = rgb.shape[:2]
             crop = rgb[h // 3 : 2 * h // 3, w // 3 : 2 * w // 3]
             assert crop.mean() > 1e-3, f"{integrator}: second instance is black"
+
+
+class TestPackedSplat:
+    def test_packed_splat_grad_close_to_exact(self):
+        """packed_splat quantizes per-flush splat totals to bf16: the PRB
+        gradient must stay within ~1% of the exact-splat gradient."""
+        import jax
+
+        scene = _cbox_scene("path")
+
+        def loss(m):
+            return jnp.sum(
+                scene.render(m, res=(24, 24), spp=8, seed=5)[..., :3]
+            )
+
+        scene.packed_splat = True
+        g_packed = np.asarray(jax.grad(loss)(MAT))
+        scene.packed_splat = False
+        g_exact = np.asarray(jax.grad(loss)(MAT))
+        scale = np.abs(g_exact).max()
+        assert scale > 0
+        assert np.abs(g_packed - g_exact).max() <= 0.02 * scale

@@ -38,7 +38,13 @@ class TestShardedRender:
         )
 
     def test_gradient_matches_single_device(self, scene, mesh):
-        """The psum'd texture gradient must equal the one-device scatter."""
+        """The psum'd texture gradient must equal the one-device scatter.
+
+        packed_splat is disabled here: bf16 flush quantization depends on
+        how entries group into flushes, which legitimately differs between
+        the per-device and single-device walks. With exact splats the
+        sharding machinery itself must be equality-tight."""
+        scene.packed_splat = False
         mat = jnp.full((16, 16, 4), 0.5)
 
         def loss_sharded(m):
@@ -50,6 +56,7 @@ class TestShardedRender:
 
         g8 = np.asarray(jax.grad(loss_sharded)(mat))
         g1 = np.asarray(jax.grad(loss_single)(mat))
+        scene.packed_splat = True
         assert np.abs(g8).sum() > 0
         np.testing.assert_allclose(g8, g1, rtol=1e-4, atol=1e-5)
 
@@ -65,6 +72,7 @@ class TestShardedRender:
         mat = jnp.full((8, 8, 4), 0.5)
         old_chunk = type(scene).max_spp_per_call
         type(scene).max_spp_per_call = 4  # force windows: spp=10 -> 4+4+2
+        scene.packed_splat = False  # exact splats: see gradient test above
         try:
             sharded = render_sharded(scene, mat, res=(16, 16), spp=10, seed=0, mesh=mesh)
             single = scene.render(mat, res=(16, 16), spp=10, seed=0)
@@ -85,6 +93,7 @@ class TestShardedRender:
             np.testing.assert_allclose(g8, g1, rtol=1e-4, atol=1e-5)
         finally:
             type(scene).max_spp_per_call = old_chunk
+            scene.packed_splat = True
 
     def test_indivisible_pixels_raises(self, scene):
         mesh3 = make_mesh(3)

@@ -1,6 +1,7 @@
 """Texture fetch/scatter tests: addressing parity and gather/scatter adjointness."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -59,3 +60,71 @@ class TestAdjointness:
         uv = jnp.tile(jnp.array([[0.25, 0.75]]), (100, 1))
         d = write_bsdf_grad(uv, jnp.ones((100, 4)), jnp.zeros((8, 8, 4)))
         np.testing.assert_allclose(float(d.sum()), 400.0, rtol=1e-5)
+
+
+class TestCompactedScatter:
+    """segment_scatter_add4: the compacted/packed PRB flush pipeline
+    (sortA -> cumsum -> sortB -> consecutive-diff totals -> .set scatter)."""
+
+    def _ref(self, ids, chans, nb):
+        from zdr_tpu.texture import segment_scatter_add
+
+        return np.asarray(
+            segment_scatter_add(
+                jnp.asarray(ids), [jnp.asarray(c) for c in chans], nb,
+                channel_major=True,
+            )
+        )
+
+    @pytest.mark.parametrize("case", ["random", "same", "masked", "overflow"])
+    def test_exact_matches_ff_pipeline(self, case):
+        from zdr_tpu.texture import segment_scatter_add4
+
+        rng = np.random.default_rng(7)
+        nb, m = 128, 500
+        if case == "same":
+            ids = np.zeros(m, np.int32)
+        elif case == "overflow":
+            # every entry a distinct texel: uniques exceed the k_compact
+            # head, forcing the lax.cond tail branch
+            ids = (np.arange(m, dtype=np.int32) * 13) % nb
+        else:
+            ids = rng.integers(0, nb, m).astype(np.int32)
+        chans = [rng.standard_normal(m).astype(np.float32) for _ in range(4)]
+        if case == "masked":
+            # sentinel id nb marks dropped entries; the ff reference gets
+            # the same entries with zero values at a real id instead
+            mask = rng.random(m) < 0.5
+            ids = np.where(mask, nb, ids)
+            chans = [np.where(mask, 0.0, c).astype(np.float32) for c in chans]
+        ref = self._ref(np.where(ids == nb, 0, ids), [np.where(ids == nb, 0, c) for c in chans], nb)
+        out = np.asarray(
+            segment_scatter_add4(
+                jnp.asarray(ids), [jnp.asarray(c) for c in chans], nb,
+                packed=False,
+            )
+        )
+        if case == "masked":
+            # sentinel routing moves the zero entries to the end of the
+            # sorted stream; XLA's parallel-prefix cumsum then regroups the
+            # same values differently -> last-ulp differences only
+            np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-6)
+        else:
+            np.testing.assert_array_equal(out, ref)
+
+    def test_packed_within_bf16(self):
+        from zdr_tpu.texture import segment_scatter_add4
+
+        rng = np.random.default_rng(8)
+        nb, m = 64, 400
+        ids = rng.integers(0, nb, m).astype(np.int32)
+        chans = [rng.standard_normal(m).astype(np.float32) for _ in range(4)]
+        ref = self._ref(ids, chans, nb)
+        out = np.asarray(
+            segment_scatter_add4(
+                jnp.asarray(ids), [jnp.asarray(c) for c in chans], nb,
+                packed=True,
+            )
+        )
+        scale = np.abs(ref).max()
+        assert np.abs(out - ref).max() <= 0.01 * scale

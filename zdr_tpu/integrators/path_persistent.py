@@ -165,7 +165,7 @@ def render_path_backward_persistent(
     from ..samplers.hashes import lcg_to_unit_float
     from ..texture import (
         cm_to_texture,
-        segment_scatter_add,
+        segment_scatter_add4,
         stochastic_corner_ids,
         write_bsdf_grad,
     )
@@ -197,6 +197,20 @@ def render_path_backward_persistent(
         cfg.use_tent_filter, cfg.sampler,
     )
 
+    n_bins = material.shape[0] * material.shape[1]
+    # masked/unused entries carry the sentinel id n_bins so the flush's
+    # compaction collapses them into one dead segment (texture.py)
+    sentinel_f = jax.lax.bitcast_convert_type(
+        jnp.full((1, N), n_bins, jnp.int32), jnp.float32
+    )
+    # bounce-batched splat buffer, ONE array: row 0 = corner ids (bitcast
+    # f32), rows 1-4 = channel gradients. A single dynamic_update per bounce
+    # replaces the 5 separate buffer updates that measured ~25% of the
+    # backward (tools/profile_bwd.py)
+    buf0 = jnp.concatenate(
+        [sentinel_f, jnp.zeros((4, N), jnp.float32)], axis=0
+    )[None].repeat(SCATTER_BATCH, axis=0)  # (SB, 5, N)
+
     init = dict(
         sample_idx=start_idx,
         phase=jnp.zeros((N,), jnp.int32),  # 0 = Le walk, 1 = grad walk
@@ -216,23 +230,17 @@ def render_path_backward_persistent(
             if cfg.stochastic_splat
             else jnp.zeros_like(material)
         ),
-        # bounce-batched splat buffers: the sort->cumsum->scan->scatter
-        # pipeline is serial-latency bound (~10 ms at 262k or 1M entries
-        # alike), so B bounces of entries are buffered and flushed in one
-        # amortized call (lax.cond with a scalar predicate: one branch runs)
-        ids_buf=jnp.zeros((SCATTER_BATCH, N), jnp.int32),
-        ch_buf=jnp.zeros((4, SCATTER_BATCH, N), jnp.float32),
+        buf=buf0,
         it=jnp.zeros((), jnp.int32),
     )
 
-    n_bins = material.shape[0] * material.shape[1]
-
-    def flush(d_mat, ids_buf, ch_buf):
-        add = segment_scatter_add(
-            ids_buf.reshape(-1),
-            [ch_buf[c].reshape(-1) for c in range(4)],
-            n_bins,
-            channel_major=True,
+    def flush(d_mat, buf):
+        ids = jax.lax.bitcast_convert_type(
+            buf[:, 0, :], jnp.int32
+        ).reshape(-1)
+        chans = [buf[:, c + 1, :].reshape(-1) for c in range(4)]
+        add = segment_scatter_add4(
+            ids, chans, n_bins, packed=cfg.packed_splat
         )
         return d_mat + add
 
@@ -268,14 +276,18 @@ def render_path_backward_persistent(
             (in_grad & v.nee_ok)[..., None], nee_contrib, 0.0
         )
 
-        def shade(mat4):
-            dif = mat4[..., :3]
-            rgh = mat4[..., 3]
+        # shading closure over the four SEPARATE channels: the vjp then
+        # emits four flat (N,) cotangents — an (N, 4) output would pad its
+        # trailing axis to 128 lanes on TPU (32x relayout per bounce)
+        def shade(d0, d1, d2, rgh):
+            dif = jnp.stack([d0, d1, d2], axis=-1)
             b_nee = ggx_brdf(v.wo_local, v.wi_nee_local, dif, SPECULAR, rgh)
             b_bounce = ggx_brdf(v.wo_local, v.wi_bounce_local, dif, SPECULAR, rgh)
             return b_nee, b_bounce
 
-        (_, _), vjp = jax.vjp(shade, v.mat)
+        (_, _), vjp = jax.vjp(
+            shade, v.mat[..., 0], v.mat[..., 1], v.mat[..., 2], v.mat[..., 3]
+        )
         gok = s["gok"]
         ct_nee = jnp.where(
             (in_grad & v.nee_ok & gok)[..., None], beta * nee_full_w * le_grad, 0.0
@@ -286,35 +298,40 @@ def render_path_backward_persistent(
             beta * inv_pdf[..., None] * le_rem * le_grad,
             0.0,
         )
-        (mat_grad,) = vjp((ct_nee, ct_bounce))
-        mat_grad = jnp.where(jnp.isnan(mat_grad), 0.0, mat_grad)
+        grads = vjp((ct_nee, ct_bounce))
         grad_on = in_grad & (v.nee_ok | v.active)
-        ids_buf, ch_buf = s["ids_buf"], s["ch_buf"]
+        grads = [
+            jnp.where(grad_on & ~jnp.isnan(g), g, 0.0) for g in grads
+        ]
         if cfg.stochastic_splat:
             u_splat = lcg_to_unit_float(smp.salt())
             ids = stochastic_corner_ids(
                 v.uv, u_splat, material.shape[0], material.shape[1]
             )
+            ids = jnp.where(grad_on, ids, n_bins)  # sentinel: compacts away
             slot = jnp.mod(s["it"], SCATTER_BATCH)
-            ids_buf = jax.lax.dynamic_update_index_in_dim(ids_buf, ids, slot, 0)
-            for c in range(4):
-                ch_buf = ch_buf.at[c, slot].set(
-                    jnp.where(grad_on, mat_grad[..., c], 0.0)
-                )
+            row = jnp.concatenate(
+                [
+                    jax.lax.bitcast_convert_type(ids, jnp.float32)[None],
+                    jnp.stack(grads, axis=0),
+                ],
+                axis=0,
+            )  # (5, N)
+            buf = jax.lax.dynamic_update_index_in_dim(s["buf"], row, slot, 0)
             do_flush = slot == SCATTER_BATCH - 1
             d_mat = jax.lax.cond(
                 do_flush,
                 lambda args: flush(*args),
                 lambda args: args[0],
-                (s["d_mat"], ids_buf, ch_buf),
+                (s["d_mat"], buf),
             )
-            # zero the buffers after a flush so the final partial flush
-            # only adds fresh entries
-            ids_buf = jnp.where(do_flush, jnp.zeros_like(ids_buf), ids_buf)
-            ch_buf = jnp.where(do_flush, jnp.zeros_like(ch_buf), ch_buf)
+            # reset to sentinel rows after a flush so the final partial
+            # flush only adds fresh entries
+            buf = jnp.where(do_flush, buf0, buf)
         else:
-            masked_grad = jnp.where(grad_on[..., None], mat_grad, 0.0)
-            d_mat = write_bsdf_grad(v.uv, masked_grad, s["d_mat"])
+            buf = s["buf"]
+            mat_grad = jnp.stack(grads, axis=-1)
+            d_mat = write_bsdf_grad(v.uv, mat_grad, s["d_mat"])
 
         # ---- continuation / termination
         beta_next = beta * v.bsdf_bounce * inv_pdf[..., None]
@@ -362,14 +379,14 @@ def render_path_backward_persistent(
         return dict(
             sample_idx=sample_idx, phase=phase, depth=depth, o=o, d=d,
             beta=beta, pdf_prev=pdf_prev, smp=smp, cur=cur, le_rem=le_rem,
-            gok=gok, d_mat=d_mat, ids_buf=ids_buf, ch_buf=ch_buf,
+            gok=gok, d_mat=d_mat, buf=buf,
             it=s["it"] + 1,
         )
 
     out = jax.lax.while_loop(cond, body, init)
     if cfg.stochastic_splat:
-        # final partial flush (buffers zeroed after full flushes, and unused
-        # slots hold id 0 with zero values — harmless adds)
-        d_mat = flush(out["d_mat"], out["ids_buf"], out["ch_buf"])
+        # final partial flush (buffers reset to sentinel rows after full
+        # flushes, so only fresh entries land)
+        d_mat = flush(out["d_mat"], out["buf"])
         return cm_to_texture(d_mat, material.shape[0], material.shape[1])
     return out["d_mat"]

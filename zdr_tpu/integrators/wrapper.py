@@ -54,6 +54,9 @@ class RenderConfig:
     # path PRB backward: unbiased single-corner texture-gradient splat
     # (4x fewer scatter entries; see texture.write_bsdf_grad_stochastic)
     stochastic_splat: bool = True
+    # splat flush packs channel pairs as bf16 (2x fewer scatter updates at
+    # ~0.3% relative splat quantization; see texture.segment_scatter_add4)
+    packed_splat: bool = True
     # persistent path loop: parallel lanes per pixel. Measured: K>1 loses on
     # TPU (per-element throughput dominates and per-lane tails idle more),
     # so default 1; kept as a tuning knob for other topologies.

@@ -98,6 +98,10 @@ class Scene:
         self.max_depth = 16  # ref prb.py:15
         self.rr_depth = 2  # ref prb.py:16
         self.bilinear = True  # ref interaction.py:33
+        # PRB backward: pack gradient channel pairs as bf16 in the splat
+        # flush (2x fewer scatter updates; ~0.3% relative gradient noise on
+        # top of the estimator's own). Set False for bit-exact splats.
+        self.packed_splat = True
         self.emissions = emissions  # user-visible record (render.py:120)
 
     # ------------------------------------------------------------- lights
@@ -186,6 +190,7 @@ class Scene:
             max_depth=int(self.max_depth),
             rr_depth=int(self.rr_depth),
             bilinear=bool(self.bilinear),
+            packed_splat=bool(self.packed_splat),
             it_start=int(it_start),
             it_count=int(it_count),
         )

@@ -109,6 +109,110 @@ def segment_scatter_add(
     return jnp.stack(outs, axis=-1)
 
 
+def pack_bf16_pair(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Pack two f32 arrays into one f32 carrying (bf16(a) << 16 | bf16(b))."""
+    ua = jax.lax.bitcast_convert_type(a.astype(jnp.bfloat16), jnp.uint16)
+    ub = jax.lax.bitcast_convert_type(b.astype(jnp.bfloat16), jnp.uint16)
+    u = (ua.astype(jnp.uint32) << 16) | ub.astype(jnp.uint32)
+    return jax.lax.bitcast_convert_type(u, jnp.float32)
+
+
+def unpack_bf16_pair(p: jnp.ndarray):
+    """Inverse of pack_bf16_pair -> (a, b) as f32."""
+    u = jax.lax.bitcast_convert_type(p, jnp.uint32)
+    a = jax.lax.bitcast_convert_type((u >> 16).astype(jnp.uint16), jnp.bfloat16)
+    b = jax.lax.bitcast_convert_type(u.astype(jnp.uint16), jnp.bfloat16)
+    return a.astype(jnp.float32), b.astype(jnp.float32)
+
+
+# fraction of the flush buffer assumed to cover all unique texels; a lax.cond
+# tail pass keeps correctness when a flush exceeds it (measured: bench flushes
+# are ~40% real entries before dedup, so 1/2 has headroom)
+COMPACT_FRAC = 0.5
+
+
+def segment_scatter_add4(
+    ids: jnp.ndarray,
+    chans,
+    n_bins: int,
+    k_compact: int | None = None,
+    packed: bool = True,
+) -> jnp.ndarray:
+    """Deterministic duplicate-safe scatter-add of exactly 4 channels ->
+    (4, n_bins). The fast path of the PRB backward flush.
+
+    Measured TPU cost anatomy (tools/profile_scatter_inloop.py, M=1M): the
+    scatter op is a serial ~7 ns/scalar-update loop regardless of duplicates
+    or hints, while a 5-operand bitonic sort is ~2.5 ms and elementwise work
+    is free. So the pipeline minimizes *scatter entries*, not sorts:
+
+      sortA by texel id -> running cumsum -> sortB by (is_end ? id : sentinel)
+      -> per-segment totals = diff of consecutive compacted cumsums
+      -> ONE .set-scatter of the first k_compact rows (unique targets), with
+         channel pairs packed as bf16 into f32 (halves scalar updates again)
+      -> lax.cond tail scatter on the rare flush with > k_compact uniques.
+
+    Entries the caller wants dropped (masked lanes) should carry
+    id == n_bins: they collapse into one sentinel segment past every real
+    texel instead of diluting the compaction. vs the ff-based
+    segment_scatter_add: identical math (same cumsum differences — bitwise
+    equal with packed=False), ~4x cheaper at 1M entries.
+    """
+    if isinstance(chans, (list, tuple)):
+        c0, c1, c2, c3 = chans
+    else:
+        c0, c1, c2, c3 = (chans[k] for k in range(4))
+    m = ids.shape[0]
+    k = int(m * COMPACT_FRAC) if k_compact is None else k_compact
+    k = max(1, min(k, m))
+
+    i2, s0, s1, s2, s3 = jax.lax.sort([ids, c0, c1, c2, c3], num_keys=1)
+    csum = jnp.cumsum(jnp.stack([s0, s1, s2, s3], axis=0), axis=1)  # (4, M)
+    is_end = jnp.concatenate([i2[:-1] != i2[1:], jnp.ones((1,), bool)])
+    key_b = jnp.where(is_end, i2, n_bins)
+    kb, e0, e1, e2, e3 = jax.lax.sort(
+        [key_b, csum[0], csum[1], csum[2], csum[3]], num_keys=1
+    )
+    # consecutive valid rows are consecutive segments in id order, so the
+    # per-segment total is the diff of their end-of-segment cumsums
+    ecs = jnp.stack([e0, e1, e2, e3], axis=0)  # (4, M) segment-end cumsums
+    totals = ecs - jnp.concatenate(
+        [jnp.zeros((4, 1), ecs.dtype), ecs[:, :-1]], axis=1
+    )
+    valid = kb < n_bins
+
+    def scatter_rows(lo: int, hi: int):
+        sl = slice(lo, hi)
+        n_rows = hi - lo
+        pos = jnp.arange(n_rows, dtype=jnp.int32)
+        tgt = jnp.where(valid[sl], kb[sl], n_bins + pos)
+        v = valid[sl]
+        t = [jnp.where(v, totals[c][sl], 0.0) for c in range(4)]
+        if packed:
+            planes = [pack_bf16_pair(t[0], t[1]), pack_bf16_pair(t[2], t[3])]
+        else:
+            planes = t
+        outs = [
+            jnp.zeros((n_bins + n_rows,), jnp.float32)
+            .at[tgt]
+            .set(p, unique_indices=True)[:n_bins]
+            for p in planes
+        ]
+        if packed:
+            a0, a1 = unpack_bf16_pair(outs[0])
+            a2, a3 = unpack_bf16_pair(outs[1])
+            return jnp.stack([a0, a1, a2, a3], axis=0)
+        return jnp.stack(outs, axis=0)
+
+    add = scatter_rows(0, k)
+    if k < m:
+        overflow = kb[k] < n_bins
+        add = jax.lax.cond(
+            overflow, lambda a: a + scatter_rows(k, m), lambda a: a, add
+        )
+    return add
+
+
 def pack_quads(material: jnp.ndarray) -> jnp.ndarray:
     """Pack the texture into overlapping 2x2 quads: entry (y, x) holds the
     four texels {(y,x),(y+1,x),(y,x+1),(y+1,x+1)} as one 16-float row, so a
@@ -174,8 +278,10 @@ def write_bsdf_grad(
     if not bilinear:
         x = jnp.clip((uv[..., 0] * (w - 1) + 0.4999).astype(jnp.int32), 0, w - 1)
         y = jnp.clip(((1.0 - uv[..., 1]) * (h - 1) + 0.4999).astype(jnp.int32), 0, h - 1)
-        add = segment_scatter_add(y * w + x, dmat, h * w).reshape(h, w, 4)
-        return d_material + add
+        cm = segment_scatter_add4(
+            y * w + x, [dmat[..., c] for c in range(4)], h * w, packed=False
+        )
+        return d_material + cm_to_texture(cm, h, w)
     # channel-major (M,) construction: no (N,4,4) intermediates (their tiny
     # minor dims cost large relayouts on TPU)
     x0, y0, fx, fy = _texel_coords(uv, h, w)
@@ -188,8 +294,8 @@ def write_bsdf_grad(
     for ch in range(4):
         g = dmat[..., ch]
         chans.append(jnp.concatenate([wk * g for wk in corner_ws]))
-    add = segment_scatter_add(flat_ids, chans, h * w).reshape(h, w, 4)
-    return d_material + add
+    cm = segment_scatter_add4(flat_ids, chans, h * w, packed=False)
+    return d_material + cm_to_texture(cm, h, w)
 
 
 def write_bsdf_grad_stochastic(
@@ -224,8 +330,8 @@ def write_bsdf_grad_stochastic(
         jnp.where(u < c1, yb * w + xa, jnp.where(u < c2, ya * w + xb, yb * w + xb)),
     )
     chans = [dmat[..., ch] for ch in range(4)]
-    add = segment_scatter_add(ids, chans, h * w).reshape(h, w, 4)
-    return d_material + add
+    cm = segment_scatter_add4(ids, chans, h * w, packed=False)
+    return d_material + cm_to_texture(cm, h, w)
 
 
 def write_bsdf_grad_stochastic_cm(
@@ -250,7 +356,7 @@ def write_bsdf_grad_stochastic_cm(
         ya * w + xa,
         jnp.where(u < c1, yb * w + xa, jnp.where(u < c2, ya * w + xb, yb * w + xb)),
     )
-    add = segment_scatter_add(ids, list(dmat_chans), h * w, channel_major=True)
+    add = segment_scatter_add4(ids, list(dmat_chans), h * w, packed=False)
     return d_material_cm + add
 
 
