@@ -1,0 +1,124 @@
+"""Fused Pallas bounce kernels (integrators/pallas_bounce.py + path_fused.py)
+vs the unfused persistent walk: same LCG stream, same math, so forward and
+PRB gradients must agree to float tolerance. Runs in pallas interpret mode
+on the CPU backend (tests/conftest.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from zdr_tpu import Camera, Scene, float3
+from zdr_tpu.envmap import make_test_envmap
+from zdr_tpu.geometry.procedural import (
+    make_cornell_box,
+    make_cornell_light,
+    make_uv_sphere,
+)
+from zdr_tpu.integrators.path_fused import fused_eligible
+
+
+def _cbox():
+    s = Scene(
+        [(make_cornell_box(), None, None), (make_cornell_light(), None, 15.0)],
+        integrator="path",
+    )
+    s.camera = Camera(
+        fov=0.87, origin=float3(-0.2, 2.6, -0.5), target=float3(-0.2, 2.6, -5.0)
+    )
+    return s
+
+
+MAT = jnp.full((16, 16, 4), 0.5, jnp.float32)
+
+
+class TestFusedForward:
+    def test_matches_unfused(self):
+        s = _cbox()
+        assert s._data.fused_meta is not None
+        img_f = np.asarray(s.render(MAT, res=(24, 24), spp=4, seed=1))
+        s.fused = False
+        img_u = np.asarray(s.render(MAT, res=(24, 24), spp=4, seed=1))
+        np.testing.assert_allclose(img_f, img_u, atol=2e-5)
+
+    def test_nonsquare_res_and_padding(self):
+        # n_pix not a multiple of the plane block: padded lanes must not
+        # contribute
+        s = _cbox()
+        img_f = np.asarray(s.render(MAT, res=(20, 12), spp=2, seed=0))
+        s.fused = False
+        img_u = np.asarray(s.render(MAT, res=(20, 12), spp=2, seed=0))
+        np.testing.assert_allclose(img_f, img_u, atol=2e-5)
+
+
+class TestFusedBackward:
+    def test_grad_matches_unfused(self):
+        s = _cbox()
+
+        def loss(m):
+            return jnp.sum(s.render(m, res=(16, 16), spp=4, seed=0)[..., :3])
+
+        g_f = np.asarray(jax.grad(loss)(MAT))
+        s.fused = False
+        g_u = np.asarray(jax.grad(loss)(MAT))
+        scale = np.abs(g_u).max()
+        assert scale > 0
+        assert np.abs(g_f - g_u).max() <= 1e-3 * scale
+
+
+class TestEligibility:
+    def test_env_scene_falls_back(self):
+        s = Scene([(make_uv_sphere(0.5), None, None)], integrator="path")
+        s.add_envmap(make_test_envmap())
+        assert not fused_eligible(s._data, s._config((8, 8), 1))
+        img = s.render(MAT, res=(8, 8), spp=1, seed=0)  # still renders
+        assert bool(jnp.isfinite(img).all())
+
+    def test_point_light_clears_meta(self):
+        s = _cbox()
+        assert s._data.fused_meta is not None
+        s.add_point_light((0.0, 1.0, 0.0), 5.0)
+        assert s._data.fused_meta is None
+
+    def test_no_lights_means_no_meta(self):
+        s = Scene([(make_uv_sphere(0.5), None, None)], integrator="path")
+        assert s._data.fused_meta is None
+
+    def test_sampler_gate(self):
+        s = _cbox()
+        s.sampler = "pmj02bn"
+        assert not fused_eligible(s._data, s._config((8, 8), 1))
+
+
+class TestUpdateLights:
+    def test_value_change_keeps_meta(self):
+        s = _cbox()
+        m0 = s._data.fused_meta
+        s.update_lights([None, 30.0])  # same structure, brighter
+        assert s._data.fused_meta == m0  # no recompile (static key equal)
+        img = np.asarray(s.render(MAT, res=(12, 12), spp=2, seed=0))
+        s.fused = False
+        img_u = np.asarray(s.render(MAT, res=(12, 12), spp=2, seed=0))
+        np.testing.assert_allclose(img, img_u, atol=5e-5)
+
+    def test_structure_change_rebuilds_meta(self):
+        s = _cbox()
+        m0 = s._data.fused_meta
+        s.update_lights([1.0, 15.0])  # instance 0 becomes emissive too
+        assert s._data.fused_meta != m0
+        assert s._data.fused_meta.n_lights == 2
+        img = s.render(MAT, res=(12, 12), spp=2, seed=0)
+        assert bool(jnp.isfinite(img).all())
+
+
+class TestWindowing:
+    def test_spp_windows_match(self):
+        s = _cbox()
+        old = type(s).max_spp_per_call
+        type(s).max_spp_per_call = 4
+        try:
+            img_w = np.asarray(s.render(MAT, res=(12, 12), spp=10, seed=0))
+        finally:
+            type(s).max_spp_per_call = old
+        img_1 = np.asarray(s.render(MAT, res=(12, 12), spp=10, seed=0))
+        np.testing.assert_allclose(img_w, img_1, atol=2e-5)

@@ -1,0 +1,801 @@
+"""Fused Pallas bounce megakernels for the path integrator (small scenes).
+
+The TPU answer to the reference's one-megakernel-per-frame architecture
+(/root/reference/integrator.py:8-30): instead of a chain of XLA ops with
+relayout/fusion barriers at every (N, 3) intermediate, one path bounce is
+
+    kernel1 (trace_closest + surface_interact + emitter MIS)   [pallas]
+      -> quad-packed material gather                           [XLA gather]
+    kernel2 (NEE sample + shadow trace + GGX shade/sample +
+             Russian roulette; optional PRB gradient taps)     [pallas]
+
+with every per-lane quantity living as (rows, 128) f32/i32/u32 *planes*
+(struct-of-arrays) in VMEM — never as an (N, 3) array whose minor axis pads
+to 128 lanes. The scene (triangle geometry, interpolation attributes, light
+table) is VMEM-resident per grid step as (T, 1) planes, swept with
+fori_loops exactly like accel/pallas_trace.py.
+
+Scope (the wrapper falls back to the unfused walk otherwise):
+  * no environment map, no point lights (mesh area lights only)
+  * LCG sampler
+  * dense scenes (T <= FUSED_MAX_TRIS)
+  * path integrator
+
+Math parity: every formula is the same jnp expression as the unfused path
+(path.py / lights.py / microfacet.py / onb.py / texture.py), consuming the
+identical LCG stream, so fused and unfused renders agree to float tolerance
+(tests/test_fused.py); they are not bitwise equal because Mosaic schedules
+transcendentals differently than XLA.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..samplers.hashes import U32
+from .path import SPECULAR
+
+LANES = 128
+BLOCK_ROWS = 256
+FUSED_MAX_TRIS = 2048
+_PI = math.pi
+
+
+class FusedMeta(NamedTuple):
+    """Static light-structure metadata (python ints/tuples: part of the jit
+    cache key). Built by Scene from host-side emission data; update_lights
+    that changes WHICH instances are emissive rebuilds it (recompile)."""
+
+    n_lights: int  # number of mesh light instances
+    light_tri_ids: Tuple[int, ...]  # global tri ids of all light triangles
+    light_offsets: Tuple[int, ...]  # per light instance: first index above
+    light_tcs: Tuple[int, ...]  # per light instance: triangle count
+    num_tris: int
+
+
+# ----------------------------------------------------------- vec3 helpers
+# component-tuple math on (B, 128) arrays inside kernels
+
+
+def _vdot(a, b):
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def _vcross(a, b):
+    return (
+        a[1] * b[2] - a[2] * b[1],
+        a[2] * b[0] - a[0] * b[2],
+        a[0] * b[1] - a[1] * b[0],
+    )
+
+
+def _vscale(a, s):
+    return (a[0] * s, a[1] * s, a[2] * s)
+
+
+def _vadd(a, b):
+    return (a[0] + b[0], a[1] + b[1], a[2] + b[2])
+
+
+def _vsub(a, b):
+    return (a[0] - b[0], a[1] - b[1], a[2] - b[2])
+
+
+def _vnormalize(a, eps=1e-20):
+    inv = 1.0 / jnp.maximum(jnp.sqrt(_vdot(a, a)), eps)
+    return _vscale(a, inv)
+
+
+def _vwhere(m, a, b):
+    return (
+        jnp.where(m, a[0], b[0]),
+        jnp.where(m, a[1], b[1]),
+        jnp.where(m, a[2], b[2]),
+    )
+
+
+# --------------------------------------------------------------- sampler
+
+
+def _lcg_step(s):
+    return s * U32(1664525) + U32(1013904223)
+
+
+def _lcg_float(s):
+    """hashes.lcg_to_unit_float: murmur3 finalize + top 24 bits."""
+    h = s ^ (s >> U32(16))
+    h = h * U32(0x7FEB352D)
+    h = h ^ (h >> U32(15))
+    h = h * U32(0x846CA68B)
+    h = h ^ (h >> U32(16))
+    # Mosaic has no uint32->f32 cast; the top-24-bit value fits int32
+    # exactly, so bitcast and convert from there
+    top = jax.lax.bitcast_convert_type(h >> U32(8), jnp.int32)
+    return top.astype(jnp.float32) * jnp.float32(1.0 / 0x01000000)
+
+
+def _draw1(s):
+    s = _lcg_step(s)
+    return _lcg_float(s), s
+
+
+# ------------------------------------------------------------------- GGX
+# identical formulas to microfacet.py, componentized; directions are local
+# frames (z = normal)
+
+
+def _ggx_distribution(hz, alpha):
+    a2 = alpha * alpha
+    nh = jnp.maximum(1e-5, hz)
+    denom = nh * nh * (a2 - 1.0) + 1.0
+    return a2 / (_PI * denom * denom)
+
+
+def _smith_geometry(vz, alpha):
+    a2 = alpha * alpha
+    nv = jnp.maximum(1e-5, vz)
+    nv2 = nv * nv
+    return 2.0 / (1.0 + jnp.sqrt(1.0 + a2 * (1.0 - nv2) / nv2))
+
+
+def _ggx_brdf(wo, wi, dif, roughness):
+    """brdf * cos(wi) -> rgb tuple (microfacet.py:43-59)."""
+    alpha = roughness * roughness
+    h = _vnormalize(_vadd(wi, wo))
+    d = _ggx_distribution(h[2], alpha)
+    cos_wh = jnp.clip(_vdot(wo, h), 1e-5, 1.0)
+    one_m = 1.0 - cos_wh
+    f = SPECULAR + (1.0 - SPECULAR) * (one_m * one_m * one_m * one_m * one_m)
+    g = _smith_geometry(wi[2], alpha) * _smith_geometry(wo[2], alpha)
+    wiz = jnp.maximum(1e-5, wi[2])
+    woz = jnp.maximum(1e-5, wo[2])
+    spec = (d * f * g) / (4.0 * wiz * woz)
+    return (
+        (spec + dif[0] / _PI) * wi[2],
+        (spec + dif[1] / _PI) * wi[2],
+        (spec + dif[2] / _PI) * wi[2],
+    )
+
+
+def _sample_wm(w, alpha, u0, u1):
+    """pbrt-v4 VNDF (microfacet.py:75-102), componentized."""
+    wh = _vnormalize((alpha * w[0], alpha * w[1], w[2]))
+    neg = wh[2] < 0.0
+    wh = _vwhere(neg, _vscale(wh, -1.0), wh)
+    zero = jnp.zeros_like(wh[0])
+    t1g = _vnormalize((-wh[1], wh[0], zero))
+    t1 = _vwhere(wh[2] < 0.99999, t1g, (zero + 1.0, zero, zero))
+    t2 = _vcross(wh, t1)
+    r = jnp.sqrt(u0)
+    theta = 2.0 * _PI * u1
+    px = r * jnp.cos(theta)
+    py = r * jnp.sin(theta)
+    h = jnp.sqrt(jnp.maximum(1.0 - px * px, 0.0))
+    py = h + (py - h) * ((1.0 + wh[2]) / 2.0)
+    pz = jnp.sqrt(jnp.maximum(0.0, 1.0 - px * px - py * py))
+    nh = _vadd(_vadd(_vscale(t1, px), _vscale(t2, py)), _vscale(wh, pz))
+    return _vnormalize((alpha * nh[0], alpha * nh[1], jnp.maximum(1e-6, nh[2])))
+
+
+def _pdf_wm(w, wm, alpha):
+    return (
+        _smith_geometry(w[2], alpha)
+        / jnp.maximum(jnp.abs(w[2]), 1e-9)
+        * _ggx_distribution(wm[2], alpha)
+        * jnp.abs(_vdot(w, wm))
+    )
+
+
+def _ggx_sample(wo, roughness, u_lobe, u0, u1):
+    """50/50 cosine + VNDF mixture (microfacet.py:114-130)."""
+    r = jnp.sqrt(u0)
+    phi = 2.0 * _PI * u1
+    dif_wi = (r * jnp.cos(phi), r * jnp.sin(phi), jnp.sqrt(jnp.maximum(1.0 - u0, 0.0)))
+    alpha = roughness * roughness
+    wm = _sample_wm(wo, alpha, u0, u1)
+    neg_wo = _vscale(wo, -1.0)
+    glossy_wi = _vsub(neg_wo, _vscale(wm, 2.0 * _vdot(neg_wo, wm)))
+    return _vwhere(u_lobe < 0.5, dif_wi, glossy_wi)
+
+
+def _ggx_sample_pdf(wo, wi, roughness):
+    alpha = roughness * roughness
+    wm = _vnormalize(_vadd(wi, wo))
+    diffuse_pdf = wi[2] / _PI
+    glossy_pdf = _pdf_wm(wo, wm, alpha) / (
+        4.0 * jnp.maximum(jnp.abs(_vdot(wo, wm)), 1e-9)
+    )
+    return 0.5 * diffuse_pdf + 0.5 * glossy_pdf
+
+
+def _make_onb(n):
+    """onb.py:36-47 componentized -> (tangent, binormal) tuples."""
+    cond = jnp.abs(n[0]) > jnp.abs(n[2])
+    zero = jnp.zeros_like(n[0])
+    b = _vwhere(cond, (-n[1], n[0], zero), (zero, -n[2], n[1]))
+    b = _vnormalize(b)
+    t = _vnormalize(_vcross(b, n))
+    return t, b
+
+
+def _to_local(t, b, n, v):
+    return (_vdot(v, t), _vdot(v, b), _vdot(v, n))
+
+
+def _to_world(t, b, n, v):
+    return (
+        v[0] * t[0] + v[1] * b[0] + v[2] * n[0],
+        v[0] * t[1] + v[1] * b[1] + v[2] * n[1],
+        v[0] * t[2] + v[1] * b[2] + v[2] * n[2],
+    )
+
+
+# --------------------------------------------------- scene plane building
+
+
+def build_fused_const(data, meta: FusedMeta):
+    """Per-triangle / per-light-tri plane arrays from traced SceneData.
+
+    All outputs are loop-invariant functions of scene arrays, so XLA hoists
+    their construction out of the bounce while_loop."""
+    g = data.geom
+    tri = g.triangles  # (T, 3)
+    i0, i1, i2 = tri[:, 0], tri[:, 1], tri[:, 2]
+    p0 = g.positions[i0]
+    p1 = g.positions[i1]
+    p2 = g.positions[i2]
+    e1 = p1 - p0
+    e2 = p2 - p0
+    uv0 = g.uvs[i0]
+    du1 = g.uvs[i1] - uv0
+    du2 = g.uvs[i2] - uv0
+    n0 = g.normals[i0]
+    dn1 = g.normals[i1] - n0
+    dn2 = g.normals[i2] - n0
+    c = jnp.cross(e1, e2)
+    ng = c / jnp.maximum(jnp.linalg.norm(c, axis=-1, keepdims=True), 1e-20)
+    area = 0.5 * jnp.linalg.norm(c, axis=-1)
+    inst = g.tri_inst
+    em = data.emission[inst]  # (T, 3)
+    emissive = jnp.any(em > 0.0, axis=-1).astype(jnp.float32)
+    tc = g.inst_tri_count[inst].astype(jnp.float32)
+    n_lights = jnp.float32(max(meta.n_lights, 1))
+    # denominator of sample_light_pdf (lights.py:158): n * tc * area
+    inv_pdf_const = n_lights * tc * area
+
+    def planes(arr):  # (T,) or (T, C) -> list of (T, 1)
+        if arr.ndim == 1:
+            return [arr.reshape(-1, 1).astype(jnp.float32)]
+        return [arr[:, k].reshape(-1, 1).astype(jnp.float32) for k in range(arr.shape[1])]
+
+    del emissive  # kernel derives the flag from the emission planes
+    tri_planes = planes(p0) + planes(e1) + planes(e2)
+    attr_planes = (
+        planes(uv0) + planes(du1) + planes(du2)
+        + planes(n0) + planes(dn1) + planes(dn2)
+        + planes(ng) + planes(em) + planes(inv_pdf_const)
+    )
+
+    # light-triangle table, in meta order
+    lids = jnp.asarray(meta.light_tri_ids, jnp.int32)
+    lv0 = p0[lids]
+    le1 = e1[lids]
+    le2 = e2[lids]
+    lem = data.emission[inst[lids]]
+    lc = jnp.cross(le1, le2)
+    l_ng = lc / jnp.maximum(jnp.linalg.norm(lc, axis=-1, keepdims=True), 1e-20)
+    l_area = 0.5 * jnp.linalg.norm(lc, axis=-1)
+    l_tc = g.inst_tri_count[inst[lids]].astype(jnp.float32)
+    l_inv_pdf = n_lights * l_tc * l_area  # lights.py:105-107 denominator
+    light_planes = (
+        planes(lv0) + planes(le1) + planes(le2) + planes(lem)
+        + planes(l_ng) + planes(l_inv_pdf)
+    )
+    return tuple(tri_planes), tuple(attr_planes), tuple(light_planes)
+
+
+# ------------------------------------------------------------- kernel 1
+
+
+def _trace_interact_kernel(n_tris: int, refs):
+    tri = refs[:9]
+    attr = refs[9:31]
+    (ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, pdfp_r, act_r) = refs[31:39]
+    outs = refs[39:]
+    (px_o, py_o, pz_o, ux_o, uy_o, nsx_o, nsy_o, nsz_o, ngx_o, ngy_o, ngz_o,
+     shade_o, aer_o, aeg_o, aeb_o) = outs
+
+    o = (ox_r[:], oy_r[:], oz_r[:])
+    d = (dx_r[:], dy_r[:], dz_r[:])
+    pdf_prev = pdfp_r[:]
+    active = act_r[:] != 0
+
+    # trace_closest uses t_min=0.0 (bounce rays start from an offset origin)
+    t_min = jnp.zeros_like(o[0])
+
+    def mt_body(ti, carry):
+        best_t, best_u, best_v, best_prim = carry
+        p0 = (tri[0][ti, 0], tri[1][ti, 0], tri[2][ti, 0])
+        e1 = (tri[3][ti, 0], tri[4][ti, 0], tri[5][ti, 0])
+        e2 = (tri[6][ti, 0], tri[7][ti, 0], tri[8][ti, 0])
+        h = _vcross(d, e2)
+        a = _vdot(e1, h)
+        f = jnp.where(jnp.abs(a) > 1e-12, 1.0 / jnp.where(a == 0, 1.0, a), 0.0)
+        s = _vsub(o, p0)
+        u = f * _vdot(s, h)
+        q = _vcross(s, e1)
+        v = f * _vdot(d, q)
+        t = f * _vdot(e2, q)
+        ok = (
+            (jnp.abs(a) > 1e-12)
+            & (u >= 0.0) & (u <= 1.0)
+            & (v >= 0.0) & (u + v <= 1.0)
+            & (t > t_min) & (t < best_t)
+        )
+        best_u = jnp.where(ok, u, best_u)
+        best_v = jnp.where(ok, v, best_v)
+        best_prim = jnp.where(ok, ti, best_prim)
+        best_t = jnp.where(ok, t, best_t)
+        return best_t, best_u, best_v, best_prim
+
+    init = (
+        jnp.full_like(o[0], 1e30),
+        jnp.zeros_like(o[0]),
+        jnp.zeros_like(o[0]),
+        jnp.full(o[0].shape, -1, jnp.int32),
+    )
+    best_t, bu, bv, prim = jax.lax.fori_loop(0, n_tris, mt_body, init)
+    miss = prim < 0
+
+    # second sweep: select the winning triangle's shading attributes
+    def attr_body(ti, carry):
+        m = prim == ti
+        vals = [jnp.where(m, attr[k][ti, 0], carry[k]) for k in range(22)]
+        return tuple(vals)
+
+    a0 = tuple(jnp.zeros_like(o[0]) for _ in range(22))
+    av = jax.lax.fori_loop(0, n_tris, attr_body, a0)
+    (uv0x, uv0y, du1x, du1y, du2x, du2y,
+     n0x, n0y, n0z, dn1x, dn1y, dn1z, dn2x, dn2y, dn2z,
+     ngx, ngy, ngz, emr, emg, emb, inv_pdfc) = av
+
+    # keep p finite on miss lanes (everything downstream is masked, but an
+    # inf position would breed NaNs that jnp.where cannot mask in products)
+    t_eff = jnp.where(miss, 1.0, best_t)
+    p = _vadd(o, _vscale(d, t_eff))
+    ux = uv0x + bu * du1x + bv * du2x
+    uy = uv0y + bu * du1y + bv * du2y
+    ns = _vnormalize((n0x + bu * dn1x + bv * dn2x,
+                      n0y + bu * dn1y + bv * dn2y,
+                      n0z + bu * dn1z + bv * dn2z))
+    ng = (ngx, ngy, ngz)
+    wo = _vscale(d, -1.0)
+    frontfacing = (_vdot(wo, ng) >= 1e-4) & (_vdot(wo, ns) >= 1e-4)
+    emissive = emr > 0.0
+    emissive = emissive | (emg > 0.0) | (emb > 0.0)
+
+    # emitter-hit MIS vs carried bsdf pdf (path.py:107-110)
+    cos_light = -_vdot(ng, d)
+    sqr_dist = best_t * best_t
+    pdf_hit = sqr_dist / jnp.maximum(inv_pdfc * cos_light, 1e-12)
+    mis_hit = pdf_prev / jnp.maximum(pdf_prev + pdf_hit, 1e-4)
+    emit_on = active & ~miss & frontfacing & emissive
+    aer_o[:] = jnp.where(emit_on, mis_hit * emr, 0.0)
+    aeg_o[:] = jnp.where(emit_on, mis_hit * emg, 0.0)
+    aeb_o[:] = jnp.where(emit_on, mis_hit * emb, 0.0)
+
+    shade = active & ~miss & frontfacing & ~emissive
+    shade_o[:] = shade.astype(jnp.int32)
+    px_o[:] = p[0]
+    py_o[:] = p[1]
+    pz_o[:] = p[2]
+    ux_o[:] = ux
+    uy_o[:] = uy
+    nsx_o[:] = ns[0]
+    nsy_o[:] = ns[1]
+    nsz_o[:] = ns[2]
+    ngx_o[:] = ng[0]
+    ngy_o[:] = ng[1]
+    ngz_o[:] = ng[2]
+
+
+# ------------------------------------------------------------- kernel 2
+
+
+def _shade_kernel(
+    n_tris: int,
+    meta: FusedMeta,
+    rr_depth: int,
+    max_depth: int,
+    tex_h: int,
+    tex_w: int,
+    want_grad: bool,
+    refs,
+):
+    tri = refs[:9]
+    light = refs[9 : 9 + 16]
+    idx = 9 + 16
+    (px_r, py_r, pz_r, nsx_r, nsy_r, nsz_r, ngx_r, ngy_r, ngz_r,
+     dx_r, dy_r, dz_r, shade_r, m0_r, m1_r, m2_r, m3_r,
+     br_r, bg_r, bb_r, depth_r, st_r, aer_r, aeg_r, aeb_r) = refs[idx : idx + 25]
+    idx += 25
+    if want_grad:
+        (ingrad_r, lrr_r, lrg_r, lrb_r, lgr_r, lgg_r, lgb_r,
+         uvx_r, uvy_r) = refs[idx : idx + 9]
+        idx += 9
+    outs = refs[idx:]
+    (radr_o, radg_o, radb_o, bnr_o, bng_o, bnb_o, pdfb_o,
+     nox_o, noy_o, noz_o, ndx_o, ndy_o, ndz_o, alive_o, st_o) = outs[:15]
+    if want_grad:
+        (lsr_o, lsg_o, lsb_o, g0_o, g1_o, g2_o, g3_o, ids_o) = outs[15:]
+
+    p = (px_r[:], py_r[:], pz_r[:])
+    ns = (nsx_r[:], nsy_r[:], nsz_r[:])
+    ng = (ngx_r[:], ngy_r[:], ngz_r[:])
+    d = (dx_r[:], dy_r[:], dz_r[:])
+    shade = shade_r[:] != 0
+    dif = (m0_r[:], m1_r[:], m2_r[:])
+    rough = m3_r[:]
+    beta = (br_r[:], bg_r[:], bb_r[:])
+    depth = depth_r[:]
+    state = st_r[:]
+    add_emit = (aer_r[:], aeg_r[:], aeb_r[:])
+
+    wo = _vscale(d, -1.0)
+    tangent, binormal = _make_onb(ns)
+    wo_local = _to_local(tangent, binormal, ns, wo)
+
+    # ---- NEE draws (lights.py:64-71): u_sel, u_prim, u2
+    u_sel, state = _draw1(state)
+    u_prim, state = _draw1(state)
+    u2a, state = _draw1(state)
+    u2b, state = _draw1(state)
+
+    n_l = float(max(meta.n_lights, 1))
+    idx_l = jnp.clip((u_sel * n_l).astype(jnp.int32), 0, max(meta.n_lights - 1, 0))
+    off = jnp.zeros_like(idx_l)
+    tc = jnp.ones_like(idx_l)
+    for k in range(meta.n_lights):
+        m = idx_l == k
+        off = jnp.where(m, meta.light_offsets[k], off)
+        tc = jnp.where(m, meta.light_tcs[k], tc)
+    prim_local = jnp.clip(
+        (u_prim * tc.astype(jnp.float32)).astype(jnp.int32), 0,
+        jnp.maximum(tc - 1, 0),
+    )
+    l_sel = off + prim_local
+
+    L = len(meta.light_tri_ids)
+    zero = jnp.zeros_like(u_sel)
+    lt = [zero] * 16
+
+    def light_body(li, carry):
+        m = l_sel == li
+        return tuple(jnp.where(m, light[k][li, 0], carry[k]) for k in range(16))
+
+    lt = jax.lax.fori_loop(0, L, light_body, tuple(lt))
+    lv0 = (lt[0], lt[1], lt[2])
+    le1 = (lt[3], lt[4], lt[5])
+    le2 = (lt[6], lt[7], lt[8])
+    lem = (lt[9], lt[10], lt[11])
+    l_ng = (lt[12], lt[13], lt[14])
+    l_inv_pdf = lt[15]
+
+    # sample_uniform_triangle (lights.py:45-50)
+    a_bc = jnp.where(u2a < u2b, 0.5 * u2a, u2a - 0.5 * u2b)
+    b_bc = jnp.where(u2a < u2b, u2b - 0.5 * u2a, 0.5 * u2b)
+    c_bc = 1.0 - a_bc - b_bc
+    # p_light = a*p0 + b*p1 + c*p2 = p0 + b*e1 + c*e2
+    p_light = _vadd(lv0, _vadd(_vscale(le1, b_bc), _vscale(le2, c_bc)))
+    delta = _vsub(p_light, p)
+    sqr_dist = _vdot(delta, delta)
+    wi_l = _vnormalize(delta)
+    cos_light = -_vdot(l_ng, wi_l)
+    l_pdf = sqr_dist / jnp.maximum(l_inv_pdf * cos_light, 1e-12)
+    l_eval_on = cos_light > 1e-4
+    l_eval = (
+        jnp.where(l_eval_on, lem[0], 0.0),
+        jnp.where(l_eval_on, lem[1], 0.0),
+        jnp.where(l_eval_on, lem[2], 0.0),
+    )
+    l_dist = 0.9999 * jnp.sqrt(sqr_dist)
+
+    # ---- shadow trace (trace_any, t_min=1e-4, t_max=l_dist)
+    def occ_body(ti, occ):
+        p0 = (tri[0][ti, 0], tri[1][ti, 0], tri[2][ti, 0])
+        e1 = (tri[3][ti, 0], tri[4][ti, 0], tri[5][ti, 0])
+        e2 = (tri[6][ti, 0], tri[7][ti, 0], tri[8][ti, 0])
+        h = _vcross(wi_l, e2)
+        a = _vdot(e1, h)
+        f = jnp.where(jnp.abs(a) > 1e-12, 1.0 / jnp.where(a == 0, 1.0, a), 0.0)
+        s = _vsub(p, p0)
+        u = f * _vdot(s, h)
+        q = _vcross(s, e1)
+        v = f * _vdot(wi_l, q)
+        t = f * _vdot(e2, q)
+        ok = (
+            (jnp.abs(a) > 1e-12)
+            & (u >= 0.0) & (u <= 1.0)
+            & (v >= 0.0) & (u + v <= 1.0)
+            & (t > 1e-4) & (t < l_dist)
+        )
+        return occ | ok.astype(jnp.int32)
+
+    occluded = jax.lax.fori_loop(0, n_tris, occ_body, jnp.zeros_like(depth)) != 0
+
+    wi_light_local = _to_local(tangent, binormal, ns, wi_l)
+    nee_ok = shade & (~occluded) & (wi_light_local[2] >= 1e-4)
+    pdf_bsdf_at_light = _ggx_sample_pdf(wo_local, wi_light_local, rough)
+    mis_nee = l_pdf / jnp.maximum(l_pdf + pdf_bsdf_at_light, 1e-4)
+    nee_weight = mis_nee / jnp.maximum(l_pdf, 1e-4)
+
+    # ---- BSDF sample (path.py:143-150)
+    u_lobe, state = _draw1(state)
+    ub0, state = _draw1(state)
+    ub1, state = _draw1(state)
+    wi_local = _ggx_sample(wo_local, rough, u_lobe, ub0, ub1)
+    pdf_bounce = _ggx_sample_pdf(wo_local, wi_local, rough)
+    wi = _to_world(tangent, binormal, ns, wi_local)
+    bounce_ok = shade & (_vdot(wi, ng) >= 1e-4) & (wi_local[2] >= 1e-4)
+    next_o = _vadd(p, _vscale(ng, 1e-4))  # offset_ray_origin
+
+    # shading values (+ gradient taps through the SAME closure in bwd)
+    def shade_fn(d0, d1, d2, rg):
+        df = (d0, d1, d2)
+        b_nee = _ggx_brdf(wo_local, wi_light_local, df, rg)
+        b_bounce = _ggx_brdf(wo_local, wi_local, df, rg)
+        return b_nee, b_bounce
+
+    if want_grad:
+        (b_nee, b_bounce), vjp = jax.vjp(shade_fn, dif[0], dif[1], dif[2], rough)
+    else:
+        b_nee, b_bounce = shade_fn(dif[0], dif[1], dif[2], rough)
+
+    # ---- RR draw (always consumed; path.py:153-155,179-187)
+    u_rr, state = _draw1(state)
+    inv_pdf = 1.0 / jnp.maximum(pdf_bounce, 1e-9)
+    beta_next = (
+        beta[0] * b_bounce[0] * inv_pdf,
+        beta[1] * b_bounce[1] * inv_pdf,
+        beta[2] * b_bounce[2] * inv_pdf,
+    )
+    lum = (
+        0.212671 * beta_next[0] + 0.715160 * beta_next[1] + 0.072169 * beta_next[2]
+    )
+    q = jnp.maximum(lum, 0.05)
+    do_rr = depth >= rr_depth
+    dead = do_rr & ((lum == 0.0) | (u_rr >= q))
+    rr_scale = jnp.where(do_rr & ~dead & bounce_ok, 1.0 / q, 1.0)
+    path_alive = bounce_ok & ~dead & (depth + 1 < max_depth)
+    beta_next = _vscale(beta_next, rr_scale)
+
+    # ---- radiance delta: beta * (add_emit + nee_ok * nee_contrib)
+    nw = nee_weight
+    nee_r = b_nee[0] * nw * l_eval[0]
+    nee_g = b_nee[1] * nw * l_eval[1]
+    nee_b = b_nee[2] * nw * l_eval[2]
+    nok = nee_ok
+    radr_o[:] = beta[0] * (add_emit[0] + jnp.where(nok, nee_r, 0.0))
+    radg_o[:] = beta[1] * (add_emit[1] + jnp.where(nok, nee_g, 0.0))
+    radb_o[:] = beta[2] * (add_emit[2] + jnp.where(nok, nee_b, 0.0))
+
+    bnr_o[:] = beta_next[0]
+    bng_o[:] = beta_next[1]
+    bnb_o[:] = beta_next[2]
+    pdfb_o[:] = pdf_bounce
+    nox_o[:] = next_o[0]
+    noy_o[:] = next_o[1]
+    noz_o[:] = next_o[2]
+    ndx_o[:] = wi[0]
+    ndy_o[:] = wi[1]
+    ndz_o[:] = wi[2]
+    alive_o[:] = path_alive.astype(jnp.int32)
+    st_o[:] = state
+
+    if want_grad:
+        in_grad = ingrad_r[:] != 0
+        le_rem = (lrr_r[:], lrg_r[:], lrb_r[:])
+        le_grad = (lgr_r[:], lgg_r[:], lgb_r[:])
+        # subtract this vertex's local contributions from the remaining-path
+        # radiance (path_persistent.py phase-1 bookkeeping)
+        sub_r = beta[0] * (add_emit[0] + jnp.where(nok, nee_r, 0.0))
+        sub_g = beta[1] * (add_emit[1] + jnp.where(nok, nee_g, 0.0))
+        sub_b = beta[2] * (add_emit[2] + jnp.where(nok, nee_b, 0.0))
+        ler = le_rem[0] - jnp.where(in_grad, sub_r, 0.0)
+        leg = le_rem[1] - jnp.where(in_grad, sub_g, 0.0)
+        leb = le_rem[2] - jnp.where(in_grad, sub_b, 0.0)
+        lsr_o[:] = ler
+        lsg_o[:] = leg
+        lsb_o[:] = leb
+        ct_on_nee = in_grad & nee_ok
+        ct_nee = (
+            jnp.where(ct_on_nee, beta[0] * nw * l_eval[0] * le_grad[0], 0.0),
+            jnp.where(ct_on_nee, beta[1] * nw * l_eval[1] * le_grad[1], 0.0),
+            jnp.where(ct_on_nee, beta[2] * nw * l_eval[2] * le_grad[2], 0.0),
+        )
+        ct_on_b = in_grad & bounce_ok
+        ct_bounce = (
+            jnp.where(ct_on_b, beta[0] * inv_pdf * ler * le_grad[0], 0.0),
+            jnp.where(ct_on_b, beta[1] * inv_pdf * leg * le_grad[1], 0.0),
+            jnp.where(ct_on_b, beta[2] * inv_pdf * leb * le_grad[2], 0.0),
+        )
+        g0, g1, g2, g3 = vjp((ct_nee, ct_bounce))
+        grad_on = in_grad & (nee_ok | bounce_ok)
+        g0_o[:] = jnp.where(grad_on & ~jnp.isnan(g0), g0, 0.0)
+        g1_o[:] = jnp.where(grad_on & ~jnp.isnan(g1), g1, 0.0)
+        g2_o[:] = jnp.where(grad_on & ~jnp.isnan(g2), g2, 0.0)
+        g3_o[:] = jnp.where(grad_on & ~jnp.isnan(g3), g3, 0.0)
+        # stochastic single-corner splat id with the side-channel salt draw
+        # (texture.stochastic_corner_ids + samplers.lcg.salt)
+        u_splat = _lcg_float(state ^ U32(0x5F356495))
+        x = uvx_r[:] * (tex_w - 1)
+        y = (1.0 - uvy_r[:]) * (tex_h - 1)
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        fx = x - x0
+        fy = y - y0
+        x0i = x0.astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
+        xa = jnp.clip(x0i, 0, tex_w - 1)
+        ya = jnp.clip(y0i, 0, tex_h - 1)
+        xb = jnp.clip(x0i + 1, 0, tex_w - 1)
+        yb = jnp.clip(y0i + 1, 0, tex_h - 1)
+        w00 = (1 - fx) * (1 - fy)
+        w01 = (1 - fx) * fy
+        w10 = fx * (1 - fy)
+        c0 = w00
+        c1 = c0 + w01
+        c2 = c1 + w10
+        ids = jnp.where(
+            u_splat < c0,
+            ya * tex_w + xa,
+            jnp.where(
+                u_splat < c1,
+                yb * tex_w + xa,
+                jnp.where(u_splat < c2, ya * tex_w + xb, yb * tex_w + xb),
+            ),
+        )
+        # masked lanes -> sentinel bin (compacted away by the flush)
+        ids_o[:] = jnp.where(grad_on, ids, tex_h * tex_w)
+
+
+FUSED_K2_FWD_OUTS = 15
+
+
+# -------------------------------------------------------------- wrappers
+
+
+def _ray_spec():
+    return pl.BlockSpec((BLOCK_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+
+def _const_spec(rows):
+    return pl.BlockSpec((rows, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+
+def _plane_shape(r):
+    return (r, LANES)
+
+
+def fused_trace_interact(tri_planes, attr_planes, rays, interpret=False):
+    """kernel 1. rays: 8 planes (ox,oy,oz,dx,dy,dz,pdf_prev f32, active i32).
+    Returns 15 planes: p(3), uv(2), ns(3), ng(3), shade(i32), add_emit(3)."""
+    r = rays[0].shape[0]
+    grid = (r // BLOCK_ROWS,)
+    t = tri_planes[0].shape[0]
+    f32 = jnp.float32
+    out_shape = (
+        [jax.ShapeDtypeStruct(_plane_shape(r), f32)] * 11
+        + [jax.ShapeDtypeStruct(_plane_shape(r), jnp.int32)]
+        + [jax.ShapeDtypeStruct(_plane_shape(r), f32)] * 3
+    )
+    outs = pl.pallas_call(
+        lambda *refs: _trace_interact_kernel(t, refs),
+        grid=grid,
+        in_specs=[_const_spec(t)] * 31 + [_ray_spec()] * 8,
+        out_specs=[_ray_spec()] * 15,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*tri_planes, *attr_planes, *rays)
+    return outs
+
+
+def fused_shade(
+    tri_planes,
+    light_planes,
+    ray_planes,
+    meta: FusedMeta,
+    rr_depth: int,
+    max_depth: int,
+    tex_h: int,
+    tex_w: int,
+    grad_planes=None,
+    interpret=False,
+):
+    """kernel 2. ray_planes: 25 planes (p3, ns3, ng3, d3, shade i32, mat4,
+    beta3, depth i32, state u32, add_emit3). grad_planes (backward): 9 more
+    (in_grad i32, le_rem3, le_grad3, uv2). Returns 15 forward planes
+    (radiance_add3, beta_next3, pdf_bounce, next_o3, next_d3, alive i32,
+    state u32) + 8 backward planes (le_rem_next3, g0..g3, splat ids i32)."""
+    r = ray_planes[0].shape[0]
+    grid = (r // BLOCK_ROWS,)
+    t = tri_planes[0].shape[0]
+    want_grad = grad_planes is not None
+    f32 = jnp.float32
+    out_shape = (
+        [jax.ShapeDtypeStruct(_plane_shape(r), f32)] * 13
+        + [jax.ShapeDtypeStruct(_plane_shape(r), jnp.int32)]
+        + [jax.ShapeDtypeStruct(_plane_shape(r), jnp.uint32)]
+    )
+    if want_grad:
+        out_shape += [jax.ShapeDtypeStruct(_plane_shape(r), f32)] * 7 + [
+            jax.ShapeDtypeStruct(_plane_shape(r), jnp.int32)
+        ]
+    n_out = len(out_shape)
+    inputs = list(tri_planes) + list(light_planes) + list(ray_planes)
+    in_specs = [_const_spec(t)] * 9 + [_const_spec(len(meta.light_tri_ids))] * 16 + [
+        _ray_spec()
+    ] * 25
+    if want_grad:
+        inputs += list(grad_planes)
+        in_specs += [_ray_spec()] * 9
+    outs = pl.pallas_call(
+        functools.partial(
+            _kernel2_entry, t, meta, rr_depth, max_depth, tex_h, tex_w, want_grad
+        ),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[_ray_spec()] * n_out,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*inputs)
+    return outs
+
+
+def _kernel2_entry(t, meta, rr_depth, max_depth, tex_h, tex_w, want_grad, *refs):
+    _shade_kernel(t, meta, rr_depth, max_depth, tex_h, tex_w, want_grad, refs)
+
+
+def pad_to_planes(x, rows):
+    """(N,) array -> (rows, LANES) plane (zero padded)."""
+    n = x.shape[0]
+    return jnp.pad(x, (0, rows * LANES - n)).reshape(rows, LANES)
+
+
+def planes_rows(n):
+    r = -(-n // LANES)
+    return -(-r // BLOCK_ROWS) * BLOCK_ROWS
+
+
+def read_quads_planes(ux, uy, packed, h, w):
+    """Quad-packed bilinear fetch on uv planes -> 4 material planes
+    (texture._read_bsdf_quads semantics: CLAMP + v-flip)."""
+    shape = ux.shape
+    x = ux.reshape(-1) * (w - 1)
+    y = (1.0 - uy.reshape(-1)) * (h - 1)
+    x0 = jnp.clip(jnp.floor(x), 0, w - 2)
+    y0 = jnp.clip(jnp.floor(y), 0, h - 2)
+    fx = jnp.clip(x - x0, 0.0, 1.0)
+    fy = jnp.clip(y - y0, 0.0, 1.0)
+    rows = packed[(y0 * (w - 1) + x0).astype(jnp.int32)]  # (N, 16)
+    w00 = (1 - fx) * (1 - fy)
+    w01 = (1 - fx) * fy
+    w10 = fx * (1 - fy)
+    w11 = fx * fy
+    out = []
+    for c in range(4):
+        v = (
+            rows[:, c] * w00
+            + rows[:, 4 + c] * w01
+            + rows[:, 8 + c] * w10
+            + rows[:, 12 + c] * w11
+        )
+        out.append(v.reshape(shape))
+    return out

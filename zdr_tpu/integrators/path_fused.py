@@ -1,0 +1,382 @@
+"""Persistent-lane path tracing on the fused Pallas bounce kernels.
+
+Same scheduling as path_persistent.py (every lane always has live work;
+terminated paths immediately restart on the pixel's next spp sample; the
+backward interleaves an Le-replay phase and a PRB gradient phase per
+sample), but every loop carry is a (rows, 128) plane and the whole bounce
+is two pallas_calls + one quad-packed texture gather (pallas_bounce.py).
+Consumes the identical LCG stream as the unfused walk, so results agree to
+float tolerance (not bitwise: Mosaic vs XLA transcendental scheduling).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..samplers.hashes import U32, lcg_step, lcg_to_unit_float, xxhash32_4
+from ..scenedata import SceneData
+from ..texture import cm_to_texture, pack_quads, segment_scatter_add4
+from .pallas_bounce import (
+    LANES,
+    build_fused_const,
+    fused_shade,
+    fused_trace_interact,
+    pad_to_planes,
+    planes_rows,
+    read_quads_planes,
+)
+from .path import _depths
+from .path_persistent import SCATTER_BATCH
+from .wrapper import RADIANCE_CLAMP
+
+
+def _interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def fused_eligible(data: SceneData, cfg) -> bool:
+    from .pallas_bounce import FUSED_MAX_TRIS
+
+    return (
+        getattr(cfg, "fused", True)
+        and cfg.integrator == "path"
+        and cfg.persistent
+        and cfg.stochastic_splat
+        and cfg.sampler == "lcg"
+        and cfg.lanes_per_pixel <= 1
+        and data.fused_meta is not None
+        and not data.has_env
+        and data.fused_meta.n_lights >= 1
+        and data.fused_meta.num_tris <= FUSED_MAX_TRIS
+    )
+
+
+def _start_sample_planes(pxp, pyp, camera, seed, sample_idx, res, use_tent):
+    """Plane version of path_persistent._start_sample: fresh LCG state +
+    primary ray for (pixel, seed, spp-sample)."""
+    w, h = res
+    seed_u = jnp.asarray(seed).astype(jnp.uint32)
+    mixed = seed_u ^ (sample_idx.astype(jnp.uint32) * U32(987654347))
+    state = xxhash32_4(
+        pxp.astype(jnp.uint32), pyp.astype(jnp.uint32), mixed, U32(0x9E3779B9)
+    )
+    s1 = lcg_step(state)
+    u0 = lcg_to_unit_float(s1)
+    s2 = lcg_step(s1)
+    u1 = lcg_to_unit_float(s2)
+    state = s2
+    if use_tent:
+        # camera.tent_warp componentized
+        def tw(u):
+            lo = jnp.sqrt(2.0 * u) - 1.0
+            hi = 1.0 - jnp.sqrt(jnp.maximum(2.0 - 2.0 * u, 0.0))
+            return jnp.where(u < 0.5, lo, hi)
+
+        ox = tw(u0) + 0.5
+        oy = tw(u1) + 0.5
+    else:
+        ox, oy = u0, u1
+    px_ndc = 2.0 / w * (pxp.astype(jnp.float32) + ox) - 1.0
+    py_ndc = (2.0 / h * (pyp.astype(jnp.float32) + oy) - 1.0) * (h / w)
+
+    # camera.generate_ray componentized (camera pytree scalars broadcast)
+    def norm3(x, y, z):
+        inv = 1.0 / jnp.maximum(jnp.sqrt(x * x + y * y + z * z), 1e-20)
+        return x * inv, y * inv, z * inv
+
+    fx, fy, fz = norm3(
+        camera.target[0] - camera.origin[0],
+        camera.target[1] - camera.origin[1],
+        camera.target[2] - camera.origin[2],
+    )
+    ux_, uy_, uz_ = camera.up[0], camera.up[1], camera.up[2]
+    rx, ry, rz = norm3(
+        fy * uz_ - fz * uy_, fz * ux_ - fx * uz_, fx * uy_ - fy * ux_
+    )
+    upx = ry * fz - rz * fy
+    upy = rz * fx - rx * fz
+    upz = rx * fy - ry * fx
+    scale = jnp.tan(0.5 * camera.fov)
+    sx = px_ndc * scale
+    sy = py_ndc * scale
+    dx = sx * rx - sy * upx + fx
+    dy = sx * ry - sy * upy + fy
+    dz = sx * rz - sy * upz + fz
+    dx, dy, dz = norm3(dx, dy, dz)
+    ox3 = jnp.broadcast_to(camera.origin[0], dx.shape)
+    oy3 = jnp.broadcast_to(camera.origin[1], dx.shape)
+    oz3 = jnp.broadcast_to(camera.origin[2], dx.shape)
+    return state, (ox3, oy3, oz3), (dx, dy, dz)
+
+
+def _setup(data, material, cfg, coords):
+    meta = data.fused_meta
+    tri_p, attr_p, light_p = build_fused_const(data, meta)
+    packed = pack_quads(material)
+    n_pix = coords.shape[0]
+    rows = planes_rows(n_pix)
+    pxp = pad_to_planes(coords[:, 0], rows)
+    pyp = pad_to_planes(coords[:, 1], rows)
+    win_start, win_count = cfg.window
+    real = pad_to_planes(jnp.ones((n_pix,), jnp.int32), rows) != 0
+    start_idx = jnp.full((rows, LANES), win_start, jnp.int32)
+    stop_idx = jnp.where(real, win_start + win_count, win_start)
+    return meta, tri_p, attr_p, light_p, packed, rows, pxp, pyp, start_idx, stop_idx
+
+
+def render_path_fused(data: SceneData, material, camera, seed, cfg, coords):
+    """Fused forward: spp-averaged radiance -> (n_pix, 3)."""
+    (meta, tri_p, attr_p, light_p, packed, rows, pxp, pyp,
+     start_idx, stop_idx) = _setup(data, material, cfg, coords)
+    n_pix = coords.shape[0]
+    h, w = material.shape[0], material.shape[1]
+    md, rr_d = _depths(cfg)
+    win_start, win_count = cfg.window
+    interp = _interpret()
+
+    state0, o0, d0 = _start_sample_planes(
+        pxp, pyp, camera, seed, start_idx, cfg.res, cfg.use_tent_filter
+    )
+    zeros = jnp.zeros((rows, LANES), jnp.float32)
+    init = dict(
+        sample_idx=start_idx,
+        acc=(zeros, zeros, zeros),
+        cur=(zeros, zeros, zeros),
+        beta=(zeros + 1.0, zeros + 1.0, zeros + 1.0),
+        pdf_prev=zeros + 1e30,
+        o=o0,
+        d=d0,
+        state=state0,
+        depth=jnp.zeros((rows, LANES), jnp.int32),
+        it=jnp.zeros((), jnp.int32),
+    )
+    max_iters = (win_count + 1) * md + md
+
+    def cond(s):
+        return jnp.any(s["sample_idx"] < stop_idx) & (s["it"] < max_iters)
+
+    def body(s):
+        lane_live = s["sample_idx"] < stop_idx
+        k1 = fused_trace_interact(
+            tri_p, attr_p,
+            (*s["o"], *s["d"], s["pdf_prev"], lane_live.astype(jnp.int32)),
+            interpret=interp,
+        )
+        (px, py, pz, ux, uy, nsx, nsy, nsz, ngx, ngy, ngz,
+         shade, aer, aeg, aeb) = k1
+        mat_p = read_quads_planes(ux, uy, packed, h, w)
+        k2 = fused_shade(
+            tri_p, light_p,
+            (px, py, pz, nsx, nsy, nsz, ngx, ngy, ngz, *s["d"], shade,
+             *mat_p, *s["beta"], s["depth"], s["state"], aer, aeg, aeb),
+            meta, rr_d, md, h, w, interpret=interp,
+        )
+        (radr, radg, radb, bnr, bng, bnb, pdfb,
+         nox, noy, noz, ndx, ndy, ndz, alive_i, state) = k2
+        alive = alive_i != 0
+        cur = (s["cur"][0] + radr, s["cur"][1] + radg, s["cur"][2] + radb)
+
+        terminated = lane_live & ~alive
+        good = ~(jnp.isnan(cur[0]) | jnp.isnan(cur[1]) | jnp.isnan(cur[2]))
+        acc = tuple(
+            s["acc"][c]
+            + jnp.where(
+                terminated & good, jnp.clip(cur[c], 0.0, RADIANCE_CLAMP), 0.0
+            )
+            for c in range(3)
+        )
+        sample_idx = s["sample_idx"] + terminated.astype(jnp.int32)
+        new_state, new_o, new_d = _start_sample_planes(
+            pxp, pyp, camera, seed, sample_idx, cfg.res, cfg.use_tent_filter
+        )
+        restart = terminated & (sample_idx < stop_idx)
+
+        def sel(a, b, c):  # where(restart, a, where(alive, b, c))
+            return jnp.where(restart, a, jnp.where(alive, b, c))
+
+        o = tuple(sel(new_o[c], (nox, noy, noz)[c], s["o"][c]) for c in range(3))
+        d = tuple(sel(new_d[c], (ndx, ndy, ndz)[c], s["d"][c]) for c in range(3))
+        state = jnp.where(restart, new_state, state)
+        cur = tuple(jnp.where(terminated, 0.0, cur[c]) for c in range(3))
+        beta = tuple(
+            jnp.where(terminated, 1.0, jnp.where(alive, (bnr, bng, bnb)[c], s["beta"][c]))
+            for c in range(3)
+        )
+        pdf_prev = jnp.where(
+            terminated, 1e30, jnp.where(alive, pdfb, s["pdf_prev"])
+        )
+        depth = jnp.where(terminated, 0, s["depth"] + 1)
+        return dict(
+            sample_idx=sample_idx, acc=acc, cur=cur, beta=beta,
+            pdf_prev=pdf_prev, o=o, d=d, state=state, depth=depth,
+            it=s["it"] + 1,
+        )
+
+    out = jax.lax.while_loop(cond, body, init)
+    acc = jnp.stack([out["acc"][c].reshape(-1)[:n_pix] for c in range(3)], axis=-1)
+    return acc / win_count
+
+
+def render_path_backward_fused(
+    data: SceneData, material, camera, seed, cfg, coords, le_grad
+):
+    """Fused persistent PRB gradient walk -> d_material (H, W, 4).
+
+    Phase structure identical to path_persistent.render_path_backward_
+    persistent: phase 0 replays the sample to get Le, phase 1 re-walks with
+    the same stream while kernel 2 emits the gradient taps and splat ids;
+    the compacted/packed flush (texture.segment_scatter_add4) drains the
+    (SB, 5, N) buffer."""
+    (meta, tri_p, attr_p, light_p, packed, rows, pxp, pyp,
+     start_idx, stop_idx) = _setup(data, material, cfg, coords)
+    n_pix = coords.shape[0]
+    h, w = material.shape[0], material.shape[1]
+    n_bins = h * w
+    md, rr_d = _depths(cfg)
+    win_start, win_count = cfg.window
+    interp = _interpret()
+    material = jax.lax.stop_gradient(material)
+
+    lgr = pad_to_planes(le_grad[:, 0], rows)
+    lgg = pad_to_planes(le_grad[:, 1], rows)
+    lgb = pad_to_planes(le_grad[:, 2], rows)
+
+    state0, o0, d0 = _start_sample_planes(
+        pxp, pyp, camera, seed, start_idx, cfg.res, cfg.use_tent_filter
+    )
+    zeros = jnp.zeros((rows, LANES), jnp.float32)
+    n_lanes = rows * LANES
+    sentinel_f = jax.lax.bitcast_convert_type(
+        jnp.full((1, n_lanes), n_bins, jnp.int32), jnp.float32
+    )
+    buf0 = jnp.concatenate(
+        [sentinel_f, jnp.zeros((4, n_lanes), jnp.float32)], axis=0
+    )[None].repeat(SCATTER_BATCH, axis=0)
+
+    init = dict(
+        sample_idx=start_idx,
+        phase=jnp.zeros((rows, LANES), jnp.int32),
+        depth=jnp.zeros((rows, LANES), jnp.int32),
+        o=o0,
+        d=d0,
+        beta=(zeros + 1.0, zeros + 1.0, zeros + 1.0),
+        pdf_prev=zeros + 1e30,
+        state=state0,
+        cur=(zeros, zeros, zeros),
+        le_rem=(zeros, zeros, zeros),
+        gok=jnp.ones((rows, LANES), bool),
+        d_mat=jnp.zeros((4, n_bins), material.dtype),
+        buf=buf0,
+        it=jnp.zeros((), jnp.int32),
+    )
+
+    def flush(d_mat, buf):
+        ids = jax.lax.bitcast_convert_type(buf[:, 0, :], jnp.int32).reshape(-1)
+        chans = [buf[:, c + 1, :].reshape(-1) for c in range(4)]
+        return d_mat + segment_scatter_add4(
+            ids, chans, n_bins, packed=cfg.packed_splat
+        )
+
+    max_iters = 2 * (win_count + 1) * md + 2 * md
+
+    def cond(s):
+        return jnp.any(s["sample_idx"] < stop_idx) & (s["it"] < max_iters)
+
+    def body(s):
+        lane_live = s["sample_idx"] < stop_idx
+        in_grad = lane_live & (s["phase"] == 1)
+        k1 = fused_trace_interact(
+            tri_p, attr_p,
+            (*s["o"], *s["d"], s["pdf_prev"], lane_live.astype(jnp.int32)),
+            interpret=interp,
+        )
+        (px, py, pz, ux, uy, nsx, nsy, nsz, ngx, ngy, ngz,
+         shade, aer, aeg, aeb) = k1
+        mat_p = read_quads_planes(ux, uy, packed, h, w)
+        # gok gates only the cotangents: zeroed le_grad kills them while the
+        # le_rem bookkeeping still runs (path_persistent.py parity)
+        glr = jnp.where(s["gok"], lgr, 0.0)
+        glg = jnp.where(s["gok"], lgg, 0.0)
+        glb = jnp.where(s["gok"], lgb, 0.0)
+        k2 = fused_shade(
+            tri_p, light_p,
+            (px, py, pz, nsx, nsy, nsz, ngx, ngy, ngz, *s["d"], shade,
+             *mat_p, *s["beta"], s["depth"], s["state"], aer, aeg, aeb),
+            meta, rr_d, md, h, w,
+            grad_planes=(
+                in_grad.astype(jnp.int32), *s["le_rem"], glr, glg, glb, ux, uy
+            ),
+            interpret=interp,
+        )
+        (radr, radg, radb, bnr, bng, bnb, pdfb,
+         nox, noy, noz, ndx, ndy, ndz, alive_i, state,
+         lerx, lery, lerz, g0, g1, g2, g3, ids) = k2
+        alive = alive_i != 0
+
+        # phase 0 accumulates Le
+        ph0 = s["phase"] == 0
+        cur = tuple(
+            s["cur"][c] + jnp.where(ph0, (radr, radg, radb)[c], 0.0)
+            for c in range(3)
+        )
+        le_rem = (lerx, lery, lerz)
+
+        # splat buffer write (ids already sentinel-masked in-kernel)
+        slot = jnp.mod(s["it"], SCATTER_BATCH)
+        row = jnp.concatenate(
+            [
+                jax.lax.bitcast_convert_type(ids.reshape(1, -1), jnp.float32),
+                g0.reshape(1, -1), g1.reshape(1, -1),
+                g2.reshape(1, -1), g3.reshape(1, -1),
+            ],
+            axis=0,
+        )
+        buf = jax.lax.dynamic_update_index_in_dim(s["buf"], row, slot, 0)
+        do_flush = slot == SCATTER_BATCH - 1
+        d_mat = jax.lax.cond(
+            do_flush, lambda a: flush(*a), lambda a: a[0], (s["d_mat"], buf)
+        )
+        buf = jnp.where(do_flush, buf0, buf)
+
+        terminated = lane_live & ~alive
+        end_le = terminated & ph0
+        end_grad = terminated & (s["phase"] == 1)
+        le_ok = ~(jnp.isnan(cur[0]) | jnp.isnan(cur[1]) | jnp.isnan(cur[2]))
+        sample_idx = s["sample_idx"] + end_grad.astype(jnp.int32)
+        phase = jnp.where(end_le, 1, jnp.where(end_grad, 0, s["phase"]))
+
+        new_state, new_o, new_d = _start_sample_planes(
+            pxp, pyp, camera, seed, sample_idx, cfg.res, cfg.use_tent_filter
+        )
+        restart = terminated & (sample_idx < stop_idx)
+
+        def sel(a, b, c):
+            return jnp.where(restart, a, jnp.where(alive, b, c))
+
+        o = tuple(sel(new_o[c], (nox, noy, noz)[c], s["o"][c]) for c in range(3))
+        d = tuple(sel(new_d[c], (ndx, ndy, ndz)[c], s["d"][c]) for c in range(3))
+        state = jnp.where(restart, new_state, state)
+        le_rem = tuple(
+            jnp.where(end_le, jnp.where(le_ok, cur[c], 0.0), le_rem[c])
+            for c in range(3)
+        )
+        cur = tuple(jnp.where(terminated, 0.0, cur[c]) for c in range(3))
+        gok = jnp.where(end_le, le_ok, s["gok"])
+        beta = tuple(
+            jnp.where(
+                terminated, 1.0, jnp.where(alive, (bnr, bng, bnb)[c], s["beta"][c])
+            )
+            for c in range(3)
+        )
+        pdf_prev = jnp.where(terminated, 1e30, jnp.where(alive, pdfb, s["pdf_prev"]))
+        depth = jnp.where(terminated, 0, s["depth"] + 1)
+        return dict(
+            sample_idx=sample_idx, phase=phase, depth=depth, o=o, d=d,
+            beta=beta, pdf_prev=pdf_prev, state=state, cur=cur, le_rem=le_rem,
+            gok=gok, d_mat=d_mat, buf=buf, it=s["it"] + 1,
+        )
+
+    out = jax.lax.while_loop(cond, body, init)
+    d_mat = flush(out["d_mat"], out["buf"])
+    return cm_to_texture(d_mat, h, w)

@@ -57,6 +57,10 @@ class RenderConfig:
     # splat flush packs channel pairs as bf16 (2x fewer scatter updates at
     # ~0.3% relative splat quantization; see texture.segment_scatter_add4)
     packed_splat: bool = True
+    # path integrator: fused Pallas bounce megakernels when the scene is in
+    # scope (mesh-lights-only, lcg sampler, small dense scene — see
+    # integrators/pallas_bounce.py); falls back to the unfused walk otherwise
+    fused: bool = True
     # persistent path loop: parallel lanes per pixel. Measured: K>1 loses on
     # TPU (per-element throughput dominates and per-lane tails idle more),
     # so default 1; kept as a tuning knob for other topologies.
@@ -112,8 +116,11 @@ def render_forward_rays(
     This is the shardable unit: devices each take a slice of the pixel grid
     (see zdr_tpu.parallel)."""
     if cfg.integrator == "path" and cfg.persistent:
+        from .path_fused import fused_eligible, render_path_fused
         from .path_persistent import render_path_persistent
 
+        if cfg.bilinear and material.shape[0] >= 2 and material.shape[1] >= 2 and fused_eligible(data, cfg):
+            return render_path_fused(data, material, camera, seed, cfg, coords)
         return render_path_persistent(data, material, camera, seed, cfg, coords)
 
     start, count = cfg.window
@@ -164,8 +171,13 @@ def render_grad_rays(
 ) -> jnp.ndarray:
     """d_material for one pixel-coord batch given per-sample adjoints (M,3)."""
     if cfg.integrator == "path" and cfg.persistent:
+        from .path_fused import fused_eligible, render_path_backward_fused
         from .path_persistent import render_path_backward_persistent
 
+        if cfg.bilinear and material.shape[0] >= 2 and material.shape[1] >= 2 and fused_eligible(data, cfg):
+            return render_path_backward_fused(
+                data, material, camera, seed, cfg, coords, le_grad
+            )
         return render_path_backward_persistent(
             data, material, camera, seed, cfg, coords, le_grad
         )

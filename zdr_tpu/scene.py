@@ -39,6 +39,33 @@ from .scenedata import SceneData
 MAX_INSTANCES = 10000  # reference render.py:114-115
 
 
+def _build_fused_meta(geom, light_insts):
+    """Static light structure for the fused Pallas bounce path
+    (integrators/pallas_bounce.FusedMeta); None when the scene is out of
+    the fused kernels' scope (too many triangles, no mesh lights)."""
+    from .integrators.pallas_bounce import FUSED_MAX_TRIS, FusedMeta
+
+    n_tris = int(geom.num_triangles)
+    if n_tris > FUSED_MAX_TRIS or not light_insts:
+        return None
+    offs = np.asarray(geom.inst_tri_offset)
+    cnts = np.asarray(geom.inst_tri_count)
+    tri_ids = []
+    offsets = []
+    tcs = []
+    for inst in light_insts:
+        offsets.append(len(tri_ids))
+        tcs.append(int(cnts[inst]))
+        tri_ids.extend(range(int(offs[inst]), int(offs[inst]) + int(cnts[inst])))
+    return FusedMeta(
+        n_lights=len(light_insts),
+        light_tri_ids=tuple(tri_ids),
+        light_offsets=tuple(offsets),
+        light_tcs=tuple(tcs),
+        num_tris=n_tris,
+    )
+
+
 def _normalize_emission(e) -> np.ndarray:
     if e is None:
         return np.zeros(3, np.float32)
@@ -73,7 +100,9 @@ class Scene:
         accel_data = build_accel(geom, method=accel)
         n_inst = geom.num_instances
         light_insts = [i for i, e in enumerate(emissions) if (e > 0).any()]
+        fused_meta = _build_fused_meta(geom, light_insts)
         self._data = SceneData(
+            fused_meta=fused_meta,
             geom=geom,
             accel=accel_data,
             emission=jnp.asarray(np.stack(emissions)),
@@ -102,6 +131,9 @@ class Scene:
         # flush (2x fewer scatter updates; ~0.3% relative gradient noise on
         # top of the estimator's own). Set False for bit-exact splats.
         self.packed_splat = True
+        # fused Pallas bounce megakernels for the path integrator (auto
+        # falls back when the scene is out of scope; pallas_bounce.py)
+        self.fused = True
         self.emissions = emissions  # user-visible record (render.py:120)
 
     # ------------------------------------------------------------- lights
@@ -116,6 +148,7 @@ class Scene:
         light_insts = [i for i, e in enumerate(em) if (e > 0).any()]
         self._data = dataclasses.replace(
             self._data,
+            fused_meta=_build_fused_meta(self._data.geom, light_insts),
             emission=jnp.asarray(np.stack(em)),
             light_insts=jnp.asarray(
                 np.array(
@@ -147,6 +180,7 @@ class Scene:
             point_pos=jnp.asarray(new_pos),
             point_intensity=jnp.asarray(new_int),
             point_count=jnp.asarray(count + 1, jnp.int32),
+            fused_meta=None,  # fused bounce kernels are mesh-lights-only
         )
 
     def add_envmap(self, img, compensate_mis: bool = True) -> None:
@@ -191,6 +225,7 @@ class Scene:
             rr_depth=int(self.rr_depth),
             bilinear=bool(self.bilinear),
             packed_splat=bool(self.packed_splat),
+            fused=bool(self.fused),
             it_start=int(it_start),
             it_count=int(it_count),
         )

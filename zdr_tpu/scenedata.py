@@ -43,3 +43,8 @@ class SceneData:
         default_factory=lambda: jnp.zeros((), jnp.int32)
     )
     has_env: bool = dataclasses.field(metadata=dict(static=True), default=False)
+    # static light-structure metadata for the fused Pallas bounce kernels
+    # (integrators/pallas_bounce.FusedMeta); None disables the fused path.
+    # Rebuilt by Scene.update_lights (host knows the emission structure);
+    # cleared by add_point_light (fused path is mesh-lights-only).
+    fused_meta: object = dataclasses.field(metadata=dict(static=True), default=None)
