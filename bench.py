@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 RES = (512, 512)
 SPP = 64
-ITERS = 3
+ITERS = 5  # per-iteration times also printed to stderr (spread check)
 # First value measured on this hardware (v5e-1 via axon, 2026-08-16),
 # recorded in BASELINE.md. Update when re-baselining.
 BASELINE_MRAYS = 8.4
@@ -74,11 +74,19 @@ def main():
     l, g = step(material, jnp.asarray(0, jnp.int32))
     _ = float(g.sum())
 
-    t0 = time.perf_counter()
+    import sys
+
+    times = []
     for i in range(ITERS):
+        t0 = time.perf_counter()
         l, g = step(material, jnp.asarray(i + 1, jnp.int32))
-    _ = float(g.sum())
-    dt = (time.perf_counter() - t0) / ITERS
+        _ = float(g.sum())  # host transfer = the only real fence on axon
+        times.append(time.perf_counter() - t0)
+    dt = sum(times) / ITERS
+    print(
+        "iter times (s): " + " ".join(f"{t:.2f}" for t in times),
+        file=sys.stderr,
+    )
 
     n_samples = RES[0] * RES[1] * SPP
     total_rays = n_samples * rays_per_sample * 3.0  # fwd + 2x-walk PRB bwd

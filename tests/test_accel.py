@@ -197,3 +197,64 @@ class TestPallasTrace:
             for s in scenes
         ]
         np.testing.assert_allclose(grads[0], grads[1], rtol=1e-4, atol=1e-4)
+
+
+class TestStackless:
+    """Escape-link (stackless) traversal structure (accel/bvh.to_stackless):
+    the default BVH path since round 2 — the stack-based loop paid two
+    (N,)-row scatters per step (11.4 s/trace at 66k tris on TPU; stackless
+    measured 2.5-3x faster and scatter-free)."""
+
+    def test_preorder_walk_visits_all_nodes(self):
+        from zdr_tpu.accel.bvh import build_bvh, to_stackless
+
+        rng = np.random.default_rng(0)
+        v0 = rng.random((300, 3)).astype(np.float32)
+        v1 = v0 + rng.random((300, 3)).astype(np.float32) * 0.1
+        v2 = v0 + rng.random((300, 3)).astype(np.float32) * 0.1
+        s = to_stackless(build_bvh(v0, v1, v2))
+        m = s.node_packed.shape[0]
+        esc = s.node_packed[:, 6].view(np.int32)
+        leafw = s.node_packed[:, 7].view(np.int32)
+        # always-descend walk == preorder: must visit 0..m-1 in order
+        node, seen = 0, 0
+        while node < m:
+            assert node == seen
+            seen += 1
+            node = node + 1 if leafw[node] == 0 else int(esc[node])
+        assert seen == m
+        # always-miss walk from the root exits immediately
+        assert esc[0] == m
+
+    def test_native_tree_roundtrip(self):
+        """to_stackless must handle the native SAH builder's node order."""
+        from zdr_tpu.accel.bvh import build_bvh, to_stackless
+        from zdr_tpu.accel.native import build_bvh_native
+
+        geom = sphere_geom(n_lat=16, n_lon=24)
+        tris = np.asarray(geom.triangles)
+        pos = np.asarray(geom.positions)
+        v0, v1, v2 = pos[tris[:, 0]], pos[tris[:, 1]], pos[tris[:, 2]]
+        b = build_bvh_native(v0, v1, v2, 8)
+        if b is None:
+            b = build_bvh(v0, v1, v2)
+        s = to_stackless(b)
+        m = s.node_packed.shape[0]
+        esc = s.node_packed[:, 6].view(np.int32)
+        leafw = s.node_packed[:, 7].view(np.int32)
+        node, seen = 0, 0
+        while node < m:
+            assert node == seen
+            seen += 1
+            node = node + 1 if leafw[node] == 0 else int(esc[node])
+        assert seen == m
+
+    def test_occlusion_matches_bruteforce(self):
+        geom = sphere_geom(n_lat=24, n_lon=48)
+        brute = build_accel(geom, method="bruteforce")
+        bvh = build_accel(geom, method="bvh")
+        assert bvh.node_packed is not None
+        o, d = random_rays(1024, key=9)
+        a1 = np.asarray(trace_any(brute, o, d, t_min=1e-4, t_max=2.5))
+        a2 = np.asarray(trace_any(bvh, o, d, t_min=1e-4, t_max=2.5))
+        np.testing.assert_array_equal(a1, a2)

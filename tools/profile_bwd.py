@@ -87,7 +87,7 @@ def main():
         from zdr_tpu.samplers.hashes import lcg_to_unit_float
         from zdr_tpu.texture import cm_to_texture, segment_scatter_add, stochastic_corner_ids
 
-        win_start, win_count = cfg.window
+        win_start, win_count = 0, cfg.window_count
         n_pix = coords.shape[0]
         spp = cfg.spp
         stop_idx = jnp.full((n_pix,), win_start + win_count, jnp.int32)

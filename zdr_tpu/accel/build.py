@@ -68,12 +68,13 @@ def build_accel(geom: Geometry, method: str = "auto", chunk: int = 0) -> Accel:
         )
 
     if method == "bvh":
-        from .bvh import LEAF_SIZE
+        from .bvh import LEAF_SIZE, to_stackless
         from .native import build_bvh_native
 
         b = build_bvh_native(v0, v1, v2, LEAF_SIZE)
         if b is None:  # toolchain unavailable: python median-split fallback
             b = build_bvh(v0, v1, v2)
+        stackless = to_stackless(b)
         perm = b.tri_perm  # (T_padded,) global ids, -1 pads
         safe = np.maximum(perm, 0)
         p0 = np.where(perm[:, None] >= 0, v0[safe], 0.0).astype(np.float32)
@@ -90,6 +91,7 @@ def build_accel(geom: Geometry, method: str = "auto", chunk: int = 0) -> Accel:
             node_left=jnp.asarray(b.node_left),
             node_right=jnp.asarray(b.node_right),
             node_is_leaf=jnp.asarray(b.node_is_leaf),
+            node_packed=jnp.asarray(stackless.node_packed),
             method="bvh",
             chunk=chunk,
         )

@@ -89,3 +89,53 @@ def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray, leaf_size: int = L
         node_is_leaf=np.array(node_is_leaf, dtype=bool),
         tri_perm=np.array(tri_perm, dtype=np.int32),
     )
+
+
+class StacklessArrays(NamedTuple):
+    """Escape-link (threaded) BVH for the stackless TPU traversal.
+
+    Nodes are reordered to DFS preorder (left child first), so the "hit"
+    successor of an internal node is implicitly node+1 and the "miss" /
+    after-leaf successor is the escape link. One packed (M, 8) f32 row per
+    node keeps a node visit to a single row-gather on TPU:
+        [lo.xyz, hi.xyz, bitcast(escape), bitcast(is_leaf ? tri_start+1 : 0)]
+    """
+
+    node_packed: np.ndarray  # (M, 8) float32
+    tri_perm: np.ndarray  # same as BVHArrays.tri_perm
+
+
+def to_stackless(b: BVHArrays) -> StacklessArrays:
+    """Reorder any BVHArrays into DFS preorder and thread escape links."""
+    m = b.node_lo.shape[0]
+    order = np.empty(m, np.int32)  # new id -> old id
+    nxt = 0
+    stack = [0]
+    while stack:  # DFS preorder, left child first
+        old = stack.pop()
+        order[nxt] = old
+        nxt += 1
+        if not b.node_is_leaf[old]:
+            stack.append(int(b.node_right[old]))
+            stack.append(int(b.node_left[old]))
+    old2new = np.empty(m, np.int32)
+    old2new[order] = np.arange(m, dtype=np.int32)
+    # preorder => each subtree occupies a contiguous id range; a reverse
+    # sweep accumulates subtree sizes, and escape = id just past my subtree
+    size = np.ones(m, np.int64)
+    for new in range(m - 1, -1, -1):
+        old = order[new]
+        if not b.node_is_leaf[old]:
+            size[new] = (
+                1 + size[old2new[b.node_left[old]]] + size[old2new[b.node_right[old]]]
+            )
+    escape = np.arange(m, dtype=np.int64) + size
+    packed = np.zeros((m, 8), np.float32)
+    packed[:, 0:3] = b.node_lo[order]
+    packed[:, 3:6] = b.node_hi[order]
+    packed[:, 6] = escape.astype(np.int32).view(np.float32)
+    leafw = np.where(
+        b.node_is_leaf[order], b.node_left[order].astype(np.int32) + 1, 0
+    ).astype(np.int32)
+    packed[:, 7] = leafw.view(np.float32)
+    return StacklessArrays(node_packed=packed, tri_perm=b.tri_perm)

@@ -237,6 +237,100 @@ def _bvh_loop(accel: Accel, o, d, t_min, t_max, want_closest: bool):
     return out.occluded
 
 
+def _bvh_stackless(accel: Accel, o, d, t_min, t_max, want_closest: bool):
+    """Escape-link (threaded) BVH traversal: no per-lane stack.
+
+    The stack-based loop costs two (N,)-row scatters per iteration for the
+    stack pushes (~7 ns/lane each — the same serial-scatter floor the
+    gradient flush hits) plus ~15 scattered column gathers for node data.
+    Here a node visit is ONE 32-byte row-gather of the packed DFS-preorder
+    node (bvh.to_stackless): descend = node+1, miss/after-leaf = escape
+    link. Triangles are fetched as packed 36-byte rows. Trades ordered
+    near-child-first descent (and its earlier best_t shrinking) for
+    scatter-free, gather-light iterations — measured well ahead on TPU.
+    """
+    N = o.shape[0]
+    inv_d = _safe_inv(d)
+    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (N,))
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (N,))
+    m = accel.node_packed.shape[0]
+    node_rows = accel.node_packed
+    tri_rows = jnp.concatenate([accel.p0, accel.e1, accel.e2], axis=1)  # (Tp, 9)
+
+    class S(NamedTuple):
+        node: jnp.ndarray
+        best_t: jnp.ndarray
+        best_prim: jnp.ndarray
+        best_u: jnp.ndarray
+        best_v: jnp.ndarray
+        occluded: jnp.ndarray
+
+    init = S(
+        node=jnp.zeros((N,), jnp.int32),
+        best_t=t_max,
+        best_prim=jnp.full((N,), -1, jnp.int32),
+        best_u=jnp.zeros((N,), jnp.float32),
+        best_v=jnp.zeros((N,), jnp.float32),
+        occluded=jnp.zeros((N,), bool),
+    )
+
+    def cond(s: S):
+        return jnp.any(s.node < m)
+
+    def body(s: S) -> S:
+        node = jnp.minimum(s.node, m - 1)
+        done = s.node >= m
+        row = node_rows[node]  # (N, 8): one row-gather per visit
+        lo = row[:, 0:3]
+        hi = row[:, 3:6]
+        escape = jax.lax.bitcast_convert_type(row[:, 6], jnp.int32)
+        leafw = jax.lax.bitcast_convert_type(row[:, 7], jnp.int32)
+        hit, _ = _aabb_hit(o, inv_d, lo, hi, t_min, s.best_t)
+        hit = hit & ~done
+        is_leaf = (leafw > 0) & hit
+
+        start = jnp.where(is_leaf, leafw - 1, 0)
+        tri = start[:, None] + jnp.arange(LEAF_SIZE, dtype=jnp.int32)[None, :]
+        tri = jnp.where(is_leaf[:, None], tri, 0)
+        rows9 = tri_rows[tri]  # (N, LEAF, 9)
+        t, u, v, ok = _moller_trumbore(
+            o[:, None, :],
+            d[:, None, :],
+            rows9[..., 0:3],
+            rows9[..., 3:6],
+            rows9[..., 6:9],
+            t_min[:, None],
+            s.best_t[:, None],
+        )
+        gid = accel.tri_perm[tri]
+        ok = ok & is_leaf[:, None] & (gid >= 0)
+        t = jnp.where(ok, t, _BIG)
+        tj = jnp.min(t, axis=-1)
+        sel_prim = jnp.min(
+            jnp.where(t <= tj[:, None], gid, jnp.int32(2**30)), axis=-1
+        )
+        sel_mask = gid == sel_prim[:, None]
+        uj = jnp.sum(jnp.where(sel_mask, u, 0.0), axis=-1)
+        vj = jnp.sum(jnp.where(sel_mask, v, 0.0), axis=-1)
+        better = tj < s.best_t
+        best_prim = jnp.where(better, sel_prim, s.best_prim)
+        best_u = jnp.where(better, uj, s.best_u)
+        best_v = jnp.where(better, vj, s.best_v)
+        best_t = jnp.where(better, tj, s.best_t)
+        occluded = s.occluded | jnp.any(ok, axis=-1)
+
+        nxt = jnp.where(hit & ~is_leaf, node + 1, escape)
+        nxt = jnp.where(done, s.node, nxt)
+        if not want_closest:
+            nxt = jnp.where(occluded, m, nxt)
+        return S(nxt, best_t, best_prim, best_u, best_v, occluded)
+
+    out = jax.lax.while_loop(cond, body, init)
+    if want_closest:
+        return out.best_t, out.best_prim, out.best_u, out.best_v
+    return out.occluded
+
+
 # ------------------------------------------------------------------ public
 
 
@@ -250,7 +344,10 @@ def trace_closest(accel: Accel, o: jnp.ndarray, d: jnp.ndarray, t_min=0.0, t_max
     o = jax.lax.stop_gradient(o)
     d = jax.lax.stop_gradient(d)
     if accel.method == "bvh":
-        best_t, prim, u, v = _bvh_loop(accel, o, d, t_min, t_max, True)
+        if accel.node_packed is not None:
+            best_t, prim, u, v = _bvh_stackless(accel, o, d, t_min, t_max, True)
+        else:
+            best_t, prim, u, v = _bvh_loop(accel, o, d, t_min, t_max, True)
     elif accel.method == "pallas":
         from .pallas_trace import trace_closest_pallas
 
@@ -277,6 +374,8 @@ def trace_any(accel: Accel, o: jnp.ndarray, d: jnp.ndarray, t_min=1e-4, t_max=1e
     d = jax.lax.stop_gradient(d)
     t_max = jax.lax.stop_gradient(t_max)
     if accel.method == "bvh":
+        if accel.node_packed is not None:
+            return _bvh_stackless(accel, o, d, t_min, t_max, False)
         return _bvh_loop(accel, o, d, t_min, t_max, False)
     if accel.method == "pallas":
         from .pallas_trace import trace_any_pallas

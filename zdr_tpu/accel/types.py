@@ -54,6 +54,10 @@ class Accel:
     node_left: jnp.ndarray  # (M,) int32; internal: child index, leaf: tri start
     node_right: jnp.ndarray  # (M,) int32; internal: child index, leaf: -count
     node_is_leaf: jnp.ndarray  # (M,) bool
+    # stackless (escape-link) node rows, DFS preorder: [lo3, hi3,
+    # bitcast(escape), bitcast(is_leaf ? tri_start+1 : 0)] — one row-gather
+    # per node visit in the TPU traversal (bvh.to_stackless)
+    node_packed: jnp.ndarray = None  # (M, 8) float32
     method: str = dataclasses.field(metadata=dict(static=True), default="bruteforce")
     chunk: int = dataclasses.field(metadata=dict(static=True), default=256)
 

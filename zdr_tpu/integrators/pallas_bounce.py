@@ -43,7 +43,10 @@ from ..samplers.hashes import U32
 from .path import SPECULAR
 
 LANES = 128
-BLOCK_ROWS = 256
+# 128 rows x 128 lanes per grid step: the backward shade kernel carries
+# ~57 ray planes; at 256 rows their double-buffered VMEM footprint sits at
+# the 16 MB edge (observed compile OOM by 0.9 MB on a variant build)
+BLOCK_ROWS = 128
 FUSED_MAX_TRIS = 2048
 _PI = math.pi
 
@@ -784,7 +787,7 @@ def read_quads_planes(ux, uy, packed, h, w):
     y0 = jnp.clip(jnp.floor(y), 0, h - 2)
     fx = jnp.clip(x - x0, 0.0, 1.0)
     fy = jnp.clip(y - y0, 0.0, 1.0)
-    rows = packed[(y0 * (w - 1) + x0).astype(jnp.int32)]  # (N, 16)
+    rows = packed[(y0 * (w - 1) + x0).astype(jnp.int32)].astype(jnp.float32)
     w00 = (1 - fx) * (1 - fy)
     w01 = (1 - fx) * fy
     w10 = fx * (1 - fy)

@@ -87,6 +87,7 @@ class _Vertex(NamedTuple):
 def _walk_one_bounce(data: SceneData, material, o, d, pdf_bsdf_prev, active, sampler, cfg=None):
     """Shared per-bounce logic. Returns (_Vertex, sampler)."""
     bilinear = True if cfg is None else cfg.bilinear
+    tex_bf16 = False if cfg is None else getattr(cfg, "texture_bf16", False)
     hit = trace_closest(data.accel, o, d)
     it = surface_interact(hit, data.geom)
     wo = -d
@@ -123,7 +124,7 @@ def _walk_one_bounce(data: SceneData, material, o, d, pdf_bsdf_prev, active, sam
     # lights after).
     shade = active & ~hit.miss & frontfacing & ~emissive
 
-    mat = read_bsdf(it.uv, material, bilinear)
+    mat = read_bsdf(it.uv, material, bilinear, tex_bf16)
     diffuse = mat[..., :3]
     roughness = mat[..., 3]
     onb = make_onb(it.ns)

@@ -110,29 +110,32 @@ def _start_sample_planes(pxp, pyp, camera, seed, sample_idx, res, use_tent):
     return state, (ox3, oy3, oz3), (dx, dy, dz)
 
 
-def _setup(data, material, cfg, coords):
+def _setup(data, material, cfg, coords, it_start):
     meta = data.fused_meta
     tri_p, attr_p, light_p = build_fused_const(data, meta)
-    packed = pack_quads(material)
+    packed = pack_quads(material, getattr(cfg, "texture_bf16", False))
     n_pix = coords.shape[0]
     rows = planes_rows(n_pix)
     pxp = pad_to_planes(coords[:, 0], rows)
     pyp = pad_to_planes(coords[:, 1], rows)
-    win_start, win_count = cfg.window
+    win_start = jnp.asarray(it_start, jnp.int32)
+    win_count = cfg.window_count
     real = pad_to_planes(jnp.ones((n_pix,), jnp.int32), rows) != 0
-    start_idx = jnp.full((rows, LANES), win_start, jnp.int32)
+    start_idx = jnp.zeros((rows, LANES), jnp.int32) + win_start
     stop_idx = jnp.where(real, win_start + win_count, win_start)
     return meta, tri_p, attr_p, light_p, packed, rows, pxp, pyp, start_idx, stop_idx
 
 
-def render_path_fused(data: SceneData, material, camera, seed, cfg, coords):
+def render_path_fused(
+    data: SceneData, material, camera, seed, cfg, coords, it_start=0
+):
     """Fused forward: spp-averaged radiance -> (n_pix, 3)."""
     (meta, tri_p, attr_p, light_p, packed, rows, pxp, pyp,
-     start_idx, stop_idx) = _setup(data, material, cfg, coords)
+     start_idx, stop_idx) = _setup(data, material, cfg, coords, it_start)
     n_pix = coords.shape[0]
     h, w = material.shape[0], material.shape[1]
     md, rr_d = _depths(cfg)
-    win_start, win_count = cfg.window
+    win_count = cfg.window_count
     interp = _interpret()
 
     state0, o0, d0 = _start_sample_planes(
@@ -219,7 +222,7 @@ def render_path_fused(data: SceneData, material, camera, seed, cfg, coords):
 
 
 def render_path_backward_fused(
-    data: SceneData, material, camera, seed, cfg, coords, le_grad
+    data: SceneData, material, camera, seed, cfg, coords, le_grad, it_start=0
 ):
     """Fused persistent PRB gradient walk -> d_material (H, W, 4).
 
@@ -229,12 +232,12 @@ def render_path_backward_fused(
     the compacted/packed flush (texture.segment_scatter_add4) drains the
     (SB, 5, N) buffer."""
     (meta, tri_p, attr_p, light_p, packed, rows, pxp, pyp,
-     start_idx, stop_idx) = _setup(data, material, cfg, coords)
+     start_idx, stop_idx) = _setup(data, material, cfg, coords, it_start)
     n_pix = coords.shape[0]
     h, w = material.shape[0], material.shape[1]
     n_bins = h * w
     md, rr_d = _depths(cfg)
-    win_start, win_count = cfg.window
+    win_count = cfg.window_count
     interp = _interpret()
     material = jax.lax.stop_gradient(material)
 

@@ -45,7 +45,7 @@ def _start_sample(coords, camera, seed, spp, sample_idx, res, use_tent, kind):
 
 
 def render_path_persistent(
-    data: SceneData, material, camera, seed, cfg, coords
+    data: SceneData, material, camera, seed, cfg, coords, it_start=0
 ) -> jnp.ndarray:
     """spp-averaged path-traced radiance for a pixel batch -> (M, 3).
 
@@ -55,24 +55,24 @@ def render_path_persistent(
     arrays with proportionally fewer iterations are nearly free — measured
     ~2-3x wall-clock at K=4. Results differ from K=1 only by summation
     order (same per-sample streams)."""
-    win_start, win_count = cfg.window
+    win_count = cfg.window_count
+    win_start = jnp.asarray(it_start, jnp.int32)
     K = max(1, min(cfg.lanes_per_pixel, win_count))
     n_pix = coords.shape[0]
     spp = cfg.spp
     base = win_count // K
     extra = win_count % K
-    # lane k handles sample indices [start_k, stop_k) within the window
-    starts, stops = [], []
-    acc_s = win_start
-    for k_i in range(K):
-        cnt = base + (1 if k_i < extra else 0)
-        starts.append(acc_s)
-        stops.append(acc_s + cnt)
-        acc_s += cnt
+    # lane k handles sample indices [start_k, stop_k) within the window;
+    # offsets are static, the window start is traced (shared program across
+    # Scene.render's spp windows)
+    cnts = [base + (1 if k_i < extra else 0) for k_i in range(K)]
+    offs = [sum(cnts[:k_i]) for k_i in range(K)]
     coords = jnp.tile(coords, (K, 1))
     N = coords.shape[0]
-    start_idx = jnp.repeat(jnp.array(starts, jnp.int32), n_pix)
-    stop_idx = jnp.repeat(jnp.array(stops, jnp.int32), n_pix)
+    start_idx = win_start + jnp.repeat(jnp.array(offs, jnp.int32), n_pix)
+    stop_idx = win_start + jnp.repeat(
+        jnp.array([offs[k] + cnts[k] for k in range(K)], jnp.int32), n_pix
+    )
 
     md, rr_d = _depths(cfg)
     sampler0, o0, d0 = _start_sample(
@@ -151,7 +151,7 @@ def render_path_persistent(
 
 
 def render_path_backward_persistent(
-    data: SceneData, material, camera, seed, cfg, coords, le_grad
+    data: SceneData, material, camera, seed, cfg, coords, le_grad, it_start=0
 ) -> jnp.ndarray:
     """Persistent-lane PRB gradient walk -> d_material (H, W, 4).
 
@@ -170,24 +170,22 @@ def render_path_backward_persistent(
         write_bsdf_grad,
     )
 
-    win_start, win_count = cfg.window
+    win_count = cfg.window_count
+    win_start = jnp.asarray(it_start, jnp.int32)
     K = max(1, min(cfg.lanes_per_pixel, win_count))
     n_pix = coords.shape[0]
     spp = cfg.spp
     base = win_count // K
     extra = win_count % K
-    starts, stops = [], []
-    acc_s = win_start
-    for k_i in range(K):
-        cnt = base + (1 if k_i < extra else 0)
-        starts.append(acc_s)
-        stops.append(acc_s + cnt)
-        acc_s += cnt
+    cnts = [base + (1 if k_i < extra else 0) for k_i in range(K)]
+    offs = [sum(cnts[:k_i]) for k_i in range(K)]
     coords = jnp.tile(coords, (K, 1))
     le_grad = jnp.tile(le_grad, (K, 1))
     N = coords.shape[0]
-    start_idx = jnp.repeat(jnp.array(starts, jnp.int32), n_pix)
-    stop_idx = jnp.repeat(jnp.array(stops, jnp.int32), n_pix)
+    start_idx = win_start + jnp.repeat(jnp.array(offs, jnp.int32), n_pix)
+    stop_idx = win_start + jnp.repeat(
+        jnp.array([offs[k] + cnts[k] for k in range(K)], jnp.int32), n_pix
+    )
     sg = jax.lax.stop_gradient
     md, rr_d = _depths(cfg)
     material = sg(material)

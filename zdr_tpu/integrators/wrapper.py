@@ -61,22 +61,25 @@ class RenderConfig:
     # scope (mesh-lights-only, lcg sampler, small dense scene — see
     # integrators/pallas_bounce.py); falls back to the unfused walk otherwise
     fused: bool = True
+    # bilinear fetch table in bfloat16: faster row-gathers (the hottest op in
+    # a path bounce) at <=0.4% material quantization on the fetch path only
+    # (texture.pack_quads); the API texture and gradient stay float32
+    texture_bf16: bool = False
     # persistent path loop: parallel lanes per pixel. Measured: K>1 loses on
     # TPU (per-element throughput dominates and per-lane tails idle more),
     # so default 1; kept as a tuning knob for other topologies.
     lanes_per_pixel: int = 1
-    # sample-index window rendered by this call: (start, count). count 0
-    # means the full [0, spp) range. Scene.render slices big jobs into
-    # several device calls with these windows (identical sampling — the
-    # sampler is keyed by global spp and absolute sample index) to keep
-    # single executions under the remote-TPU worker's time limit.
-    it_start: int = 0
+    # sample-window SIZE rendered by this call; 0 means the full spp range.
+    # Scene.render slices big jobs into several device calls of this size
+    # (identical sampling — the sampler is keyed by global spp and absolute
+    # sample index) to keep single executions under the remote-TPU worker's
+    # time limit. The window START is a *traced* argument to the render
+    # callable, so consecutive windows share one compiled program.
     it_count: int = 0
 
     @property
-    def window(self) -> Tuple[int, int]:
-        count = self.it_count if self.it_count > 0 else self.spp
-        return self.it_start, count
+    def window_count(self) -> int:
+        return self.it_count if self.it_count > 0 else self.spp
 
 
 def _pixel_grid(res: Tuple[int, int]) -> jnp.ndarray:
@@ -110,8 +113,13 @@ def render_forward_rays(
     cfg: RenderConfig,
     estimator: Callable,
     coords: jnp.ndarray,
+    it_start=0,
 ) -> jnp.ndarray:
     """spp-averaged radiance for an arbitrary pixel-coord batch -> (M, 3).
+
+    `it_start` (traced) is the absolute first sample index of this call's
+    window (size cfg.window_count) — dynamic so every spp window of a big
+    render shares one compiled program.
 
     This is the shardable unit: devices each take a slice of the pixel grid
     (see zdr_tpu.parallel)."""
@@ -120,10 +128,10 @@ def render_forward_rays(
         from .path_persistent import render_path_persistent
 
         if cfg.bilinear and material.shape[0] >= 2 and material.shape[1] >= 2 and fused_eligible(data, cfg):
-            return render_path_fused(data, material, camera, seed, cfg, coords)
-        return render_path_persistent(data, material, camera, seed, cfg, coords)
+            return render_path_fused(data, material, camera, seed, cfg, coords, it_start)
+        return render_path_persistent(data, material, camera, seed, cfg, coords, it_start)
 
-    start, count = cfg.window
+    start, count = it_start, cfg.window_count
 
     def one_sample(acc, it):
         sampler = make_sampler(cfg.sampler, coords, seed, cfg.spp, it)
@@ -136,7 +144,7 @@ def render_forward_rays(
     acc, _ = jax.lax.scan(
         one_sample,
         jnp.zeros((coords.shape[0], 3), jnp.float32),
-        jnp.arange(start, start + count),
+        start + jnp.arange(count),
     )
     return acc / count
 
@@ -148,11 +156,14 @@ def render_forward(
     seed,
     cfg: RenderConfig,
     estimator: Callable,
+    it_start=0,
 ) -> jnp.ndarray:
     """Forward render -> (H, W, 4) image (mean radiance, alpha=1)."""
     w, h = cfg.res
     coords = _pixel_grid(cfg.res)
-    rgb = render_forward_rays(data, material, camera, seed, cfg, estimator, coords)
+    rgb = render_forward_rays(
+        data, material, camera, seed, cfg, estimator, coords, it_start
+    )
     rgb = rgb.reshape(h, w, 3)
     alpha = jnp.ones((h, w, 1), jnp.float32)
     return jnp.concatenate([rgb, alpha], axis=-1)
@@ -168,6 +179,7 @@ def render_grad_rays(
     estimator: Callable,
     backward: Optional[Callable],
     coords: jnp.ndarray,
+    it_start=0,
 ) -> jnp.ndarray:
     """d_material for one pixel-coord batch given per-sample adjoints (M,3)."""
     if cfg.integrator == "path" and cfg.persistent:
@@ -176,13 +188,13 @@ def render_grad_rays(
 
         if cfg.bilinear and material.shape[0] >= 2 and material.shape[1] >= 2 and fused_eligible(data, cfg):
             return render_path_backward_fused(
-                data, material, camera, seed, cfg, coords, le_grad
+                data, material, camera, seed, cfg, coords, le_grad, it_start
             )
         return render_path_backward_persistent(
-            data, material, camera, seed, cfg, coords, le_grad
+            data, material, camera, seed, cfg, coords, le_grad, it_start
         )
 
-    start, count = cfg.window
+    start, count = it_start, cfg.window_count
 
     def one_sample(d_mat, it):
         sampler = make_sampler(cfg.sampler, coords, seed, cfg.spp, it)
@@ -199,7 +211,7 @@ def render_grad_rays(
         return d_mat + contrib, None
 
     d_mat, _ = jax.lax.scan(
-        one_sample, jnp.zeros_like(material), jnp.arange(start, start + count)
+        one_sample, jnp.zeros_like(material), start + jnp.arange(count)
     )
     return d_mat
 
@@ -213,6 +225,7 @@ def render_grad(
     cfg: RenderConfig,
     estimator: Callable,
     backward: Optional[Callable],
+    it_start=0,
 ) -> jnp.ndarray:
     """Gradient estimator (integrator.py:32-53): replay rays at this seed,
     inject d_image/spp as the per-sample adjoint, accumulate d_material."""
@@ -221,11 +234,12 @@ def render_grad(
     # per-sample adjoint: the incoming cotangent of this window's MEAN,
     # divided by the window sample count (chunk weighting in Scene.render
     # makes this equal d_image/spp overall — integrator.py:38 semantics)
-    _, count = cfg.window
+    count = cfg.window_count
     le_grad = d_image[..., :3].reshape(h * w, 3) / count
     le_grad = jnp.where(jnp.isnan(le_grad), 0.0, le_grad)
     return render_grad_rays(
-        data, material, camera, seed, le_grad, cfg, estimator, backward, coords
+        data, material, camera, seed, le_grad, cfg, estimator, backward, coords,
+        it_start,
     )
 
 
@@ -248,32 +262,44 @@ def _zero_cotangent(tree):
 def build_render(cfg: RenderConfig) -> Callable:
     """Build the differentiable render callable for a static config.
 
-    The returned function has signature (material, data, camera, seed) ->
-    (H, W, 4) image, differentiable w.r.t. material only, with the backward
-    pass running the decorrelated gradient estimator at seed+1
-    (render.py:196)."""
+    The returned function has signature (material, data, camera, seed,
+    it_start=0) -> (H, W, 4) image, differentiable w.r.t. material only,
+    with the backward pass running the decorrelated gradient estimator at
+    seed+1 (render.py:196). `it_start` is the traced absolute sample-window
+    start, so Scene.render's spp windows all share this one program."""
     from . import get_integrator
 
     estimator, backward = get_integrator(cfg.integrator)
 
     @jax.custom_vjp
-    def render(material, data, camera, seed):
-        return render_forward(data, material, camera, seed, cfg, estimator)
+    def render(material, data, camera, seed, it_start):
+        return render_forward(
+            data, material, camera, seed, cfg, estimator, it_start
+        )
 
-    def fwd(material, data, camera, seed):
-        return render(material, data, camera, seed), (material, data, camera, seed)
+    def fwd(material, data, camera, seed, it_start):
+        return render(material, data, camera, seed, it_start), (
+            material, data, camera, seed, it_start,
+        )
 
     def bwd(saved, g):
-        material, data, camera, seed = saved
+        material, data, camera, seed, it_start = saved
         d_mat = render_grad(
-            data, material, camera, seed + 1, g, cfg, estimator, backward
+            data, material, camera, seed + 1, g, cfg, estimator, backward,
+            it_start,
         )
         return (
             d_mat,
             _zero_cotangent(data),
             _zero_cotangent(camera),
             _zero_cotangent(seed),
+            _zero_cotangent(it_start),
         )
 
     render.defvjp(fwd, bwd)
-    return jax.jit(render)
+    jitted = jax.jit(render)
+
+    def call(material, data, camera, seed, it_start=0):
+        return jitted(material, data, camera, seed, jnp.asarray(it_start, jnp.int32))
+
+    return call

@@ -64,35 +64,36 @@ def build_render_sharded(cfg: RenderConfig, mesh: Mesh) -> Callable:
     if (w * h) % n_dev != 0:
         raise ValueError(f"pixel count {w*h} not divisible by mesh size {n_dev}")
 
-    def fwd_impl(material, data, camera, seed):
+    def fwd_impl(material, data, camera, seed, it_start):
         coords = _pixel_grid(cfg.res)
 
-        def body(coords_shard, material, data, camera, seed):
+        def body(coords_shard, material, data, camera, seed, it_start):
             return render_forward_rays(
-                data, material, camera, seed, cfg, estimator, coords_shard
+                data, material, camera, seed, cfg, estimator, coords_shard,
+                it_start,
             )
 
         rgb = jax.shard_map(
             body,
             mesh=mesh,
-            in_specs=(P(AXIS), P(), P(), P(), P()),
+            in_specs=(P(AXIS), P(), P(), P(), P(), P()),
             out_specs=P(AXIS),
             check_vma=False,
-        )(coords, material, data, camera, seed)
+        )(coords, material, data, camera, seed, it_start)
         rgb = rgb.reshape(h, w, 3)
         return jnp.concatenate([rgb, jnp.ones((h, w, 1), jnp.float32)], axis=-1)
 
-    def grad_impl(material, data, camera, seed, d_image):
+    def grad_impl(material, data, camera, seed, d_image, it_start):
         coords = _pixel_grid(cfg.res)
         # per-sample adjoint of this WINDOW's mean (matches wrapper.render_grad)
-        _, count = cfg.window
+        count = cfg.window_count
         le_grad = d_image[..., :3].reshape(h * w, 3) / count
         le_grad = jnp.where(jnp.isnan(le_grad), 0.0, le_grad)
 
-        def body(coords_shard, le_shard, material, data, camera, seed):
+        def body(coords_shard, le_shard, material, data, camera, seed, it_start):
             g = render_grad_rays(
                 data, material, camera, seed, le_shard, cfg, estimator,
-                backward, coords_shard,
+                backward, coords_shard, it_start,
             )
             # the atomic-scatter analog: combine per-device texture grads
             return jax.lax.psum(g, AXIS)
@@ -100,30 +101,40 @@ def build_render_sharded(cfg: RenderConfig, mesh: Mesh) -> Callable:
         return jax.shard_map(
             body,
             mesh=mesh,
-            in_specs=(P(AXIS), P(AXIS), P(), P(), P(), P()),
+            in_specs=(P(AXIS), P(AXIS), P(), P(), P(), P(), P()),
             out_specs=P(),
             check_vma=False,
-        )(coords, le_grad, material, data, camera, seed)
+        )(coords, le_grad, material, data, camera, seed, it_start)
 
     @jax.custom_vjp
-    def render(material, data, camera, seed):
-        return fwd_impl(material, data, camera, seed)
+    def render(material, data, camera, seed, it_start):
+        return fwd_impl(material, data, camera, seed, it_start)
 
-    def fwd(material, data, camera, seed):
-        return render(material, data, camera, seed), (material, data, camera, seed)
+    def fwd(material, data, camera, seed, it_start):
+        return render(material, data, camera, seed, it_start), (
+            material, data, camera, seed, it_start,
+        )
 
     def bwd(saved, g):
-        material, data, camera, seed = saved
-        d_mat = grad_impl(material, data, camera, seed + 1, g)
+        material, data, camera, seed, it_start = saved
+        d_mat = grad_impl(material, data, camera, seed + 1, g, it_start)
         return (
             d_mat,
             _zero_cotangent(data),
             _zero_cotangent(camera),
             _zero_cotangent(seed),
+            _zero_cotangent(it_start),
         )
 
     render.defvjp(fwd, bwd)
-    return jax.jit(render)
+    jitted = jax.jit(render)
+
+    def call(material, data, camera, seed, it_start=0):
+        return jitted(
+            material, data, camera, seed, jnp.asarray(it_start, jnp.int32)
+        )
+
+    return call
 
 
 def render_sharded(
@@ -154,10 +165,8 @@ def render_sharded(
     start = 0
     while start < spp:
         count = min(chunk, spp - start)
-        fn = build_render_sharded(
-            scene._config(res, spp, it_start=start, it_count=count), mesh
-        )
-        part = fn(material, scene._data, scene.camera, seed) * (count / spp)
+        fn = build_render_sharded(scene._config(res, spp, it_count=count), mesh)
+        part = fn(material, scene._data, scene.camera, seed, start) * (count / spp)
         img = part if img is None else img + part
         start += count
     return img

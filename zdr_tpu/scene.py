@@ -134,6 +134,8 @@ class Scene:
         # fused Pallas bounce megakernels for the path integrator (auto
         # falls back when the scene is out of scope; pallas_bounce.py)
         self.fused = True
+        # bf16 texture-fetch table (faster gathers, <=0.4% fetch quantization)
+        self.texture_bf16 = False
         self.emissions = emissions  # user-visible record (render.py:120)
 
     # ------------------------------------------------------------- lights
@@ -213,7 +215,7 @@ class Scene:
     # estimator, bounded per-call runtime.
     max_spp_per_call = 64
 
-    def _config(self, res, spp, it_start=0, it_count=0) -> RenderConfig:
+    def _config(self, res, spp, it_count=0) -> RenderConfig:
         return RenderConfig(
             res=tuple(res),
             spp=int(spp),
@@ -226,7 +228,7 @@ class Scene:
             bilinear=bool(self.bilinear),
             packed_splat=bool(self.packed_splat),
             fused=bool(self.fused),
-            it_start=int(it_start),
+            texture_bf16=bool(self.texture_bf16),
             it_count=int(it_count),
         )
 
@@ -247,12 +249,14 @@ class Scene:
         if spp <= chunk:
             fn = build_render(self._config(res, spp))
             return fn(material, self._data, self.camera, seed)
+        # all equal-size windows share ONE compiled program (it_start is a
+        # traced argument); only a trailing remainder window compiles again
         img = None
         start = 0
         while start < spp:
             count = min(chunk, spp - start)
-            fn = build_render(self._config(res, spp, it_start=start, it_count=count))
-            part = fn(material, self._data, self.camera, seed) * (count / spp)
+            fn = build_render(self._config(res, spp, it_count=count))
+            part = fn(material, self._data, self.camera, seed, start) * (count / spp)
             img = part if img is None else img + part
             start += count
         return img

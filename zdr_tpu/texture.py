@@ -127,8 +127,9 @@ def unpack_bf16_pair(p: jnp.ndarray):
 
 # fraction of the flush buffer assumed to cover all unique texels; a lax.cond
 # tail pass keeps correctness when a flush exceeds it (measured: bench flushes
-# are ~40% real entries before dedup, so 1/2 has headroom)
-COMPACT_FRAC = 0.5
+# are ~40% real entries BEFORE dedup, so 3/8 covers the post-dedup uniques;
+# 0.375 vs 0.5 measured -7% on the whole PRB backward)
+COMPACT_FRAC = 0.375
 
 
 def segment_scatter_add4(
@@ -213,20 +214,26 @@ def segment_scatter_add4(
     return add
 
 
-def pack_quads(material: jnp.ndarray) -> jnp.ndarray:
+def pack_quads(material: jnp.ndarray, half: bool = False) -> jnp.ndarray:
     """Pack the texture into overlapping 2x2 quads: entry (y, x) holds the
     four texels {(y,x),(y+1,x),(y,x+1),(y+1,x+1)} as one 16-float row, so a
     bilinear fetch is ONE row-gather instead of four. 4x the memory, built
     once per render call (XLA hoists it out of the spp/bounce loops since
     the material is loop-invariant). TPU row-gather cost is per-row (~11ns),
     so this is the single biggest texture-fetch lever (measured ~25%+ of a
-    path bounce)."""
+    path bounce).
+
+    half=True stores the table as bfloat16 (RenderConfig.texture_bf16):
+    gather rate improves with row bytes and table size (tools/
+    profile_gather.py), at <=0.4% material quantization on the fetch path
+    (accumulation and the API-facing texture stay float32)."""
     c00 = material[:-1, :-1]
     c01 = material[1:, :-1]
     c10 = material[:-1, 1:]
     c11 = material[1:, 1:]
     h1, w1 = c00.shape[0], c00.shape[1]
-    return jnp.concatenate([c00, c01, c10, c11], axis=-1).reshape(h1 * w1, 16)
+    out = jnp.concatenate([c00, c01, c10, c11], axis=-1).reshape(h1 * w1, 16)
+    return out.astype(jnp.bfloat16) if half else out
 
 
 def _read_bsdf_quads(uv: jnp.ndarray, packed: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
@@ -240,7 +247,7 @@ def _read_bsdf_quads(uv: jnp.ndarray, packed: jnp.ndarray, h: int, w: int) -> jn
     y0 = jnp.clip(jnp.floor(y), 0, h - 2)
     fx = jnp.clip(x - x0, 0.0, 1.0)
     fy = jnp.clip(y - y0, 0.0, 1.0)
-    rows = packed[(y0 * (w - 1) + x0).astype(jnp.int32)]  # (N, 16)
+    rows = packed[(y0 * (w - 1) + x0).astype(jnp.int32)].astype(jnp.float32)
     w00 = ((1 - fx) * (1 - fy))[..., None]
     w01 = ((1 - fx) * fy)[..., None]
     w10 = (fx * (1 - fy))[..., None]
@@ -253,14 +260,19 @@ def _read_bsdf_quads(uv: jnp.ndarray, packed: jnp.ndarray, h: int, w: int) -> jn
     )
 
 
-def _read_bsdf_impl(uv: jnp.ndarray, material: jnp.ndarray, bilinear: bool = BILINEAR) -> jnp.ndarray:
+def _read_bsdf_impl(
+    uv: jnp.ndarray,
+    material: jnp.ndarray,
+    bilinear: bool = BILINEAR,
+    texture_bf16: bool = False,
+) -> jnp.ndarray:
     h, w = material.shape[0], material.shape[1]
     if not bilinear:
         x = jnp.clip((uv[..., 0] * (w - 1) + 0.4999).astype(jnp.int32), 0, w - 1)
         y = jnp.clip(((1.0 - uv[..., 1]) * (h - 1) + 0.4999).astype(jnp.int32), 0, h - 1)
         return material[y, x]
     if h >= 2 and w >= 2:
-        return _read_bsdf_quads(uv, pack_quads(material), h, w)
+        return _read_bsdf_quads(uv, pack_quads(material, texture_bf16), h, w)
     ids, weights = _bilinear_corners(uv, h, w)
     flat = material.reshape(h * w, 4)
     corners = flat[ids]  # (N, 4corners, 4ch)
@@ -388,16 +400,21 @@ def cm_to_texture(d_material_cm: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     )
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _read_bsdf_cv(bilinear: bool, uv: jnp.ndarray, material: jnp.ndarray):
-    return _read_bsdf_impl(uv, material, bilinear)
+@partial(jax.custom_vjp, nondiff_argnums=(0, 3))
+def _read_bsdf_cv(
+    bilinear: bool, uv: jnp.ndarray, material: jnp.ndarray, texture_bf16: bool = False
+):
+    return _read_bsdf_impl(uv, material, bilinear, texture_bf16)
 
 
-def _read_bsdf_fwd(bilinear, uv, material):
-    return _read_bsdf_impl(uv, material, bilinear), (uv, material.shape)
+def _read_bsdf_fwd(bilinear, texture_bf16, uv, material):
+    return _read_bsdf_impl(uv, material, bilinear, texture_bf16), (
+        uv,
+        material.shape,
+    )
 
 
-def _read_bsdf_bwd(bilinear, res, g):
+def _read_bsdf_bwd(bilinear, texture_bf16, res, g):
     uv, shape = res
     h, w = shape[0], shape[1]
     # Plain duplicate-index scatter-add, channel-major. The sorted segment
@@ -432,10 +449,16 @@ def _read_bsdf_bwd(bilinear, res, g):
 _read_bsdf_cv.defvjp(_read_bsdf_fwd, _read_bsdf_bwd)
 
 
-def read_bsdf(uv: jnp.ndarray, material: jnp.ndarray, bilinear: bool = BILINEAR):
+def read_bsdf(
+    uv: jnp.ndarray,
+    material: jnp.ndarray,
+    bilinear: bool = BILINEAR,
+    texture_bf16: bool = False,
+):
     """Sample the material texture at uv. material: (H,W,4) -> (N,4).
     Differentiable w.r.t. material (fast sorted-segment scatter transpose);
     uv is treated as non-differentiable (geometry never carries material
-    gradients in the reference either). `bilinear` selects the filter mode
-    per call (static; RenderConfig.bilinear threads it through)."""
-    return _read_bsdf_cv(bool(bilinear), uv, material)
+    gradients in the reference either). `bilinear` / `texture_bf16` select
+    the filter and fetch-table precision per call (static; RenderConfig
+    threads them through)."""
+    return _read_bsdf_cv(bool(bilinear), uv, material, bool(texture_bf16))
