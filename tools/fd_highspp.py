@@ -28,7 +28,13 @@ MAX_SPP = int(sys.argv[3]) if len(sys.argv) > 3 else 4096
 # RR-probability term at material-sensitive pixels; disabling RR isolates
 # the continuous part the 1e-3 target speaks to.
 RR_DEPTH = int(sys.argv[4]) if len(sys.argv) > 4 else 2
-FD_EPS = float(sys.argv[5]) if len(sys.argv) > 5 else 0.01
+# channel restriction for the probed texel: "diffuse" (0-2), "rough" (3),
+# or "any". The roughness channel carries detached-sampling bias (VNDF
+# lobe shapes depend on roughness; the reference's in-kernel AD drops the
+# same score terms), so the 1e-3 convergence claim is about the channels
+# whose sampling decisions are material-independent.
+CHANNEL = sys.argv[5] if len(sys.argv) > 5 else "any"
+FD_EPS = float(sys.argv[6]) if len(sys.argv) > 6 else 0.01
 SEED = 3
 
 
@@ -65,8 +71,17 @@ def main():
         return jnp.sum(img[..., :3])
 
     g0 = np.asarray(jax.grad(lambda m: ad_loss(m, 256))(material))
+    if CHANNEL == "diffuse":
+        g0 = g0[..., :3]
+    elif CHANNEL == "rough":
+        g0 = g0[..., 3:]
     ti = np.unravel_index(np.argmax(np.abs(g0)), g0.shape)
-    print(f"{INTEG} res {RES} texel {ti} rr_depth {RR_DEPTH}", flush=True)
+    if CHANNEL == "rough":
+        ti = ti[:2] + (3,)
+    print(
+        f"{INTEG} res {RES} texel {ti} rr_depth {RR_DEPTH} ch {CHANNEL}",
+        flush=True,
+    )
     spp = 64
     while spp <= MAX_SPP:
         t0 = time.time()

@@ -623,11 +623,23 @@ def _shade_kernel(
             jnp.where(ct_on_nee, beta[1] * nw * l_eval[1] * le_grad[1], 0.0),
             jnp.where(ct_on_nee, beta[2] * nw * l_eval[2] * le_grad[2], 0.0),
         )
+        # continuation adjoint = le_rem / bsdf_bounce per channel (see
+        # path.path_backward — the reference's beta/pdf*Le form carries a
+        # spurious throughput factor)
         ct_on_b = in_grad & bounce_ok
         ct_bounce = (
-            jnp.where(ct_on_b, beta[0] * inv_pdf * ler * le_grad[0], 0.0),
-            jnp.where(ct_on_b, beta[1] * inv_pdf * leg * le_grad[1], 0.0),
-            jnp.where(ct_on_b, beta[2] * inv_pdf * leb * le_grad[2], 0.0),
+            jnp.where(
+                ct_on_b & (b_bounce[0] > 1e-8),
+                ler / jnp.maximum(b_bounce[0], 1e-8) * le_grad[0], 0.0,
+            ),
+            jnp.where(
+                ct_on_b & (b_bounce[1] > 1e-8),
+                leg / jnp.maximum(b_bounce[1], 1e-8) * le_grad[1], 0.0,
+            ),
+            jnp.where(
+                ct_on_b & (b_bounce[2] > 1e-8),
+                leb / jnp.maximum(b_bounce[2], 1e-8) * le_grad[2], 0.0,
+            ),
         )
         g0, g1, g2, g3 = vjp((ct_nee, ct_bounce))
         grad_on = in_grad & (nee_ok | bounce_ok)

@@ -14,12 +14,18 @@ throughput luminance, floor q>=0.05.
 Backward is PRB (prb.py:92-187): no path storage. Replay the forward with an
 identical sampler stream to get the total path radiance Le; walk the path a
 second time with the same stream, and at each bounce (a) subtract the locally
-added NEE/emitter terms from Le so it always holds "radiance arriving from
-the remainder of the path", and (b) inject two adjoints through the local
-BRDF only:   nee:    d_bsdf_nee    <- beta * mis * light.eval/pdf * le_grad
-             bounce: d_bsdf_bounce <- beta / pdf_bsdf * Le * le_grad
-The bounce adjoint is the PRB trick: the future-path radiance Le stands in
-for the derivative of everything downstream of this vertex. Per-bounce
+added NEE/emitter terms from Le so it always holds "(absolute) radiance
+arriving from the remainder of the path", and (b) inject two adjoints
+through the local BRDF only:
+             nee:    d_bsdf_nee    <- beta * mis * light.eval/pdf * le_grad
+             bounce: d_bsdf_bounce <- Le / bsdf_bounce * le_grad
+The bounce adjoint is the PRB trick: the future-path radiance stands in for
+the derivative of everything downstream of this vertex. Note the Le/bsdf
+form: Le is carried ABSOLUTE (beta-weighted), and every downstream beta_k is
+proportional to bsdf_bounce, so d(pixel)/d(bsdf) = Le/bsdf exactly — equal
+to classic PRB's beta/pdf * (relative incident radiance). The reference's
+stale prb.py:157-163 injects beta/pdf * absolute-Le, which carries an extra
+throughput factor; see the inline note in path_backward. Per-bounce
 gradients scatter-add into the texture at each hit's uv (bilinear corners via
 texture.write_bsdf_grad — the reference's atomics, without atomics).
 
@@ -268,10 +274,23 @@ def path_backward(data: SceneData, material, ray_o, ray_d, sampler, le_grad, cfg
         # subtract NEE contribution from the remaining-path radiance (prb.py:147)
         Le_c = Le_c - jnp.where(v.nee_ok[..., None], nee_full, 0.0)
 
-        # PRB continuation adjoint (prb.py:157-163)
+        # PRB continuation adjoint. Le_c here is the ABSOLUTE remaining-path
+        # radiance sum_{k>j} beta_k * (emit_k + nee_k); every beta_k (k > j)
+        # is proportional to this vertex's BSDF value, so
+        # d(pixel)/d(bsdf_j) = Le_c / bsdf_j — per channel, 0/0 := 0.
+        # DEVIATION from the reference's prb.py:157-163, which injects
+        # beta/pdf * Le: with absolute Le bookkeeping that carries a
+        # spurious extra throughput factor beta_{j+1} = beta*bsdf/pdf
+        # (published PRB multiplies beta/pdf by the RELATIVE incident
+        # radiance Le/beta_{j+1}). The reference's prb.py is stale and was
+        # never runnable in its snapshot (SURVEY.md §2.18); verified here
+        # against pure jax.grad of the forward estimator and same-seed
+        # finite differences, which agree to float precision.
         inv_pdf = 1.0 / jnp.maximum(v.pdf_bounce, 1e-9)
         ct_bounce = jnp.where(
-            v.active[..., None], beta * inv_pdf[..., None] * Le_c * le_grad, 0.0
+            v.active[..., None] & (b_bounce > 1e-8),
+            Le_c / jnp.maximum(b_bounce, 1e-8) * le_grad,
+            0.0,
         )
 
         (mat_grad,) = vjp((ct_nee, ct_bounce))

@@ -283,17 +283,20 @@ def render_path_backward_persistent(
             b_bounce = ggx_brdf(v.wo_local, v.wi_bounce_local, dif, SPECULAR, rgh)
             return b_nee, b_bounce
 
-        (_, _), vjp = jax.vjp(
+        (_, b_bounce_p), vjp = jax.vjp(
             shade, v.mat[..., 0], v.mat[..., 1], v.mat[..., 2], v.mat[..., 3]
         )
         gok = s["gok"]
         ct_nee = jnp.where(
             (in_grad & v.nee_ok & gok)[..., None], beta * nee_full_w * le_grad, 0.0
         )
+        # continuation adjoint = le_rem / bsdf_bounce (see path.path_backward:
+        # le_rem is absolute, every downstream beta is proportional to this
+        # bsdf; the reference's beta/pdf*Le form carries a spurious beta)
         inv_pdf = 1.0 / jnp.maximum(v.pdf_bounce, 1e-9)
         ct_bounce = jnp.where(
-            (in_grad & v.active & gok)[..., None],
-            beta * inv_pdf[..., None] * le_rem * le_grad,
+            (in_grad & v.active & gok)[..., None] & (b_bounce_p > 1e-8),
+            le_rem / jnp.maximum(b_bounce_p, 1e-8) * le_grad,
             0.0,
         )
         grads = vjp((ct_nee, ct_bounce))

@@ -400,9 +400,9 @@ def cm_to_texture(d_material_cm: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     )
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 3))
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
 def _read_bsdf_cv(
-    bilinear: bool, uv: jnp.ndarray, material: jnp.ndarray, texture_bf16: bool = False
+    bilinear: bool, texture_bf16: bool, uv: jnp.ndarray, material: jnp.ndarray
 ):
     return _read_bsdf_impl(uv, material, bilinear, texture_bf16)
 
@@ -461,4 +461,4 @@ def read_bsdf(
     gradients in the reference either). `bilinear` / `texture_bf16` select
     the filter and fetch-table precision per call (static; RenderConfig
     threads them through)."""
-    return _read_bsdf_cv(bool(bilinear), uv, material, bool(texture_bf16))
+    return _read_bsdf_cv(bool(bilinear), bool(texture_bf16), uv, material)
