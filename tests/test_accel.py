@@ -258,3 +258,20 @@ class TestStackless:
         a1 = np.asarray(trace_any(brute, o, d, t_min=1e-4, t_max=2.5))
         a2 = np.asarray(trace_any(bvh, o, d, t_min=1e-4, t_max=2.5))
         np.testing.assert_array_equal(a1, a2)
+
+    def test_tiered_compaction_matches_plain(self):
+        """Stream-compacted tiered traversal (sort-by-node + shrinking
+        static widths) must be hit-for-hit identical to the plain
+        stackless loop (it reorders lanes, never changes math)."""
+        from zdr_tpu.accel.trace import _bvh_stackless, _bvh_stackless_tiered
+
+        geom = sphere_geom(n_lat=16, n_lon=24)
+        a = build_accel(geom, method="bvh")
+        o, d = random_rays(4096, key=11)
+        bt1, p1, u1, v1 = _bvh_stackless_tiered(a, o, d, 0.0, 1e30, True)
+        bt2, p2, u2, v2 = _bvh_stackless(a, o, d, 0.0, 1e30, True)
+        np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+        np.testing.assert_array_equal(np.asarray(bt1), np.asarray(bt2))
+        occ1 = _bvh_stackless_tiered(a, o, d, 1e-4, 2.5, False)
+        occ2 = _bvh_stackless(a, o, d, 1e-4, 2.5, False)
+        np.testing.assert_array_equal(np.asarray(occ1), np.asarray(occ2))

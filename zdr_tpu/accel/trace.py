@@ -352,6 +352,159 @@ def _bvh_stackless(accel: Accel, o, d, t_min, t_max, want_closest: bool):
     return out.occluded
 
 
+TIERED_MIN_RAYS = 65536  # below this the compaction machinery isn't worth it
+
+
+def _bvh_stackless_tiered(accel: Accel, o, d, t_min, t_max, want_closest: bool):
+    """Stackless traversal with stream compaction over tiered ray queues.
+
+    The lock-step loop's cost is (max node visits over all lanes) x (full
+    wavefront width): retired rays keep burning VPU until the deepest lane
+    finishes. Here, after every round of HOPS visits the lane state is
+    re-sorted by current node id — retired lanes (node == M) compact to the
+    back, and the live prefix is processed at the smallest static width in
+    {N, N/2, N/4, N/8} that covers it (lax.switch over per-width bodies).
+    The node-id sort doubles as a ray-coherence sort: lanes visiting the
+    same subtree become neighbors, so their node/triangle row-gathers hit
+    the same table regions. Results are scattered back to the caller's ray
+    order through a carried original-index array at the end.
+    """
+    N0 = o.shape[0]
+    m = accel.node_packed.shape[0]
+    node_rows = accel.node_packed
+    tri_rows = jnp.concatenate([accel.p0, accel.e1, accel.e2], axis=1)
+    HOPS = 8
+
+    pad = (-N0) % 8
+    N = N0 + pad
+
+    def padded(x, fill):
+        return jnp.pad(x, (0, pad), constant_values=fill)
+
+    o3 = [padded(o[:, c], 0.0) for c in range(3)]
+    d3 = [padded(d[:, c], 1.0) for c in range(3)]
+    inv = _safe_inv(jnp.stack(d3, axis=-1))
+    iv3 = [inv[:, c] for c in range(3)]
+    tmn = padded(jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (N0,)), 0.0)
+    tmx = padded(jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (N0,)), 0.0)
+    widths = [N, max(8, N // 2), max(8, N // 4), max(8, N // 8)]
+
+    state = dict(
+        node=padded(jnp.zeros((N0,), jnp.int32), m),  # padding retired
+        best_t=tmx,
+        prim=jnp.full((N,), -1, jnp.int32),
+        u=jnp.zeros((N,), jnp.float32),
+        v=jnp.zeros((N,), jnp.float32),
+        occ=jnp.zeros((N,), jnp.int32),
+        orig=jnp.arange(N, dtype=jnp.int32),
+        ox=o3[0], oy=o3[1], oz=o3[2],
+        dx=d3[0], dy=d3[1], dz=d3[2],
+        ivx=iv3[0], ivy=iv3[1], ivz=iv3[2],
+        tmn=tmn, tmx=tmx,
+        active=jnp.asarray(N0, jnp.int32),
+    )
+    KEYS = ["node", "best_t", "prim", "u", "v", "occ", "orig",
+            "ox", "oy", "oz", "dx", "dy", "dz", "ivx", "ivy", "ivz",
+            "tmn", "tmx"]
+
+    def round_prefix(s, w):
+        """One HOPS-round + leaf phase + compaction sort on prefix [0:w]."""
+        sl = {k: s[k][:w] for k in KEYS}
+        oP = (sl["ox"], sl["oy"], sl["oz"])
+        dP = (sl["dx"], sl["dy"], sl["dz"])
+        ivP = jnp.stack([sl["ivx"], sl["ivy"], sl["ivz"]], axis=-1)
+        oA = jnp.stack(oP, axis=-1)
+        dA = jnp.stack(dP, axis=-1)
+
+        def hop(_, hs):
+            node, at_leaf, leaf_start, leaf_escape = hs
+            cur = jnp.minimum(node, m - 1)
+            row = node_rows[cur]
+            escape = jax.lax.bitcast_convert_type(row[:, 6], jnp.int32)
+            leafw = jax.lax.bitcast_convert_type(row[:, 7], jnp.int32)
+            moving = ~at_leaf & (node < m)
+            hit, _ = _aabb_hit(oA, ivP, row[:, 0:3], row[:, 3:6], sl["tmn"], sl["best_t"])
+            hit = hit & moving
+            pause = (leafw > 0) & hit
+            nxt = jnp.where(hit & (leafw == 0), cur + 1, escape)
+            node = jnp.where(moving & ~pause, nxt, node)
+            at_leaf = at_leaf | pause
+            leaf_start = jnp.where(pause, leafw - 1, leaf_start)
+            leaf_escape = jnp.where(pause, escape, leaf_escape)
+            return node, at_leaf, leaf_start, leaf_escape
+
+        zero = jnp.zeros((w,), jnp.int32)
+        node, at_leaf, start, leaf_escape = jax.lax.fori_loop(
+            0, HOPS, hop, (sl["node"], jnp.zeros((w,), bool), zero, zero)
+        )
+        tri = start[:, None] + jnp.arange(LEAF_SIZE, dtype=jnp.int32)[None, :]
+        tri = jnp.where(at_leaf[:, None], tri, 0)
+        rows9 = tri_rows[tri]
+        t, u, v, ok = _moller_trumbore(
+            oA[:, None, :], dA[:, None, :],
+            rows9[..., 0:3], rows9[..., 3:6], rows9[..., 6:9],
+            sl["tmn"][:, None], sl["best_t"][:, None],
+        )
+        gid = accel.tri_perm[tri]
+        ok = ok & at_leaf[:, None] & (gid >= 0)
+        t = jnp.where(ok, t, _BIG)
+        tj = jnp.min(t, axis=-1)
+        sel_prim = jnp.min(
+            jnp.where(t <= tj[:, None], gid, jnp.int32(2**30)), axis=-1
+        )
+        sel_mask = gid == sel_prim[:, None]
+        uj = jnp.sum(jnp.where(sel_mask, u, 0.0), axis=-1)
+        vj = jnp.sum(jnp.where(sel_mask, v, 0.0), axis=-1)
+        better = tj < sl["best_t"]
+        sl["prim"] = jnp.where(better, sel_prim, sl["prim"])
+        sl["u"] = jnp.where(better, uj, sl["u"])
+        sl["v"] = jnp.where(better, vj, sl["v"])
+        sl["best_t"] = jnp.where(better, tj, sl["best_t"])
+        occ_now = jnp.any(ok, axis=-1)
+        sl["occ"] = sl["occ"] | occ_now.astype(jnp.int32)
+        node = jnp.where(at_leaf, leaf_escape, node)
+        if not want_closest:
+            node = jnp.where(sl["occ"] != 0, m, node)
+        sl["node"] = node
+
+        # compaction: retired lanes (node == m) sort last; live lanes sort
+        # by node id (subtree coherence for next round's gathers)
+        sorted_ops = jax.lax.sort(
+            [sl["node"]] + [sl[k] for k in KEYS[1:]], num_keys=1
+        )
+        out = dict(s)
+        for k, arr in zip(KEYS, sorted_ops):
+            out[k] = s[k].at[:w].set(arr)
+        out["active"] = jnp.sum((out["node"] < m).astype(jnp.int32))
+        return out
+
+    def tier_index(active):
+        idx = jnp.asarray(0, jnp.int32)
+        for i, w in enumerate(widths[1:], start=1):
+            idx = jnp.where(active <= w, i, idx)
+        return idx
+
+    def cond(s):
+        return s["active"] > 0
+
+    def body(s):
+        branches = [
+            (lambda w: (lambda st: round_prefix(st, w)))(w) for w in widths
+        ]
+        return jax.lax.switch(tier_index(s["active"]), branches, s)
+
+    out = jax.lax.while_loop(cond, body, state)
+    # restore the caller's ray order
+    restored = jax.lax.sort(
+        [out["orig"], out["best_t"], out["prim"], out["u"], out["v"], out["occ"]],
+        num_keys=1,
+    )
+    _, best_t, prim, u, v, occ = restored
+    if want_closest:
+        return best_t[:N0], prim[:N0], u[:N0], v[:N0]
+    return occ[:N0] != 0
+
+
 # ------------------------------------------------------------------ public
 
 
@@ -366,7 +519,12 @@ def trace_closest(accel: Accel, o: jnp.ndarray, d: jnp.ndarray, t_min=0.0, t_max
     d = jax.lax.stop_gradient(d)
     if accel.method == "bvh":
         if accel.node_packed is not None:
-            best_t, prim, u, v = _bvh_stackless(accel, o, d, t_min, t_max, True)
+            trav = (
+                _bvh_stackless_tiered
+                if o.shape[0] >= TIERED_MIN_RAYS
+                else _bvh_stackless
+            )
+            best_t, prim, u, v = trav(accel, o, d, t_min, t_max, True)
         else:
             best_t, prim, u, v = _bvh_loop(accel, o, d, t_min, t_max, True)
     elif accel.method == "pallas":
@@ -396,7 +554,12 @@ def trace_any(accel: Accel, o: jnp.ndarray, d: jnp.ndarray, t_min=1e-4, t_max=1e
     t_max = jax.lax.stop_gradient(t_max)
     if accel.method == "bvh":
         if accel.node_packed is not None:
-            return _bvh_stackless(accel, o, d, t_min, t_max, False)
+            trav = (
+                _bvh_stackless_tiered
+                if o.shape[0] >= TIERED_MIN_RAYS
+                else _bvh_stackless
+            )
+            return trav(accel, o, d, t_min, t_max, False)
         return _bvh_loop(accel, o, d, t_min, t_max, False)
     if accel.method == "pallas":
         from .pallas_trace import trace_any_pallas
