@@ -177,7 +177,13 @@ class TestConvergenceTrend:
             return jnp.sum(scene.render(m, res=(12, 12), spp=spp, seed=SEED)[..., :3])
 
         g0 = np.asarray(jax.grad(lambda m: loss(m, spps[0]))(material))
-        ti = np.unravel_index(np.argmax(np.abs(g0)), g0.shape)
+        # probe a DIFFUSE-channel texel: diffuse never influences sampling
+        # decisions, so the detached-sampling backward and FD estimate the
+        # same quantity and the error trend is clean. Roughness texels add
+        # detached-vs-attached estimator noise with a slower trend (see
+        # tests/test_prb_algebra.py's module docstring).
+        gd = np.abs(g0[..., :3])
+        ti = np.unravel_index(np.argmax(gd), gd.shape)
         errs = []
         for spp in spps:
             ad = float(jax.grad(lambda m: loss(m, spp))(material)[ti])
