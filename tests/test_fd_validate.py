@@ -169,6 +169,14 @@ class TestConvergenceTrend:
         # unfused walk: pallas interpret mode on CPU is ~8x slower at high
         # spp, and fused-vs-unfused math equality is covered by test_fused
         scene.fused = False
+        # decision-free configuration: Russian roulette's material-dependent
+        # accept/scale decisions inject O(eps)-probability O(1) jumps into
+        # the FD estimate that swamp CI-sized sample counts (the detached
+        # backward ignores them by design, like the reference). With RR off
+        # and a moderate depth the trend is clean: measured
+        # path [0.099 -> 0.0088] across spp 64 -> 512.
+        scene.rr_depth = 99
+        scene.max_depth = 5
         material = jax.random.uniform(
             jax.random.PRNGKey(0), (12, 12, 4), minval=0.25, maxval=0.75
         )
@@ -201,5 +209,5 @@ class TestConvergenceTrend:
 
     def test_path_error_shrinks_with_spp(self, path_scene):
         errs = self._errs(path_scene, [64, 512])
-        assert errs[1] < 0.6 * errs[0], errs
-        assert errs[1] <= 0.2, errs
+        assert errs[1] < 0.5 * errs[0], errs
+        assert errs[1] <= 0.1, errs

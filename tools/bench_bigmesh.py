@@ -1,0 +1,58 @@
+"""Big-mesh BVH traversal benchmark (VERDICT round-1 item 3 protocol).
+
+66k-triangle UV sphere, 262,144 primary rays: times the plain stackless
+traversal (default in render graphs) and the stream-compacted tiered
+variant (opt-in via trace.TIERED_ENABLED; 2.8-4.5x faster standalone but
+compile-prohibitive inside integrator graphs on the remote-compile path).
+
+Usage: python -u tools/bench_bigmesh.py
+"""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, ".")
+
+
+def main():
+    from zdr_tpu import Camera, Scene, float3
+    from zdr_tpu.accel import trace_any, trace_closest
+    from zdr_tpu.accel import trace as trace_mod
+    from zdr_tpu.geometry.procedural import make_uv_sphere
+    from zdr_tpu.integrators.wrapper import _pixel_grid, _primary_rays
+    from zdr_tpu.samplers import make_sampler
+
+    mesh = make_uv_sphere(0.5, n_lat=160, n_lon=160)
+    scene = Scene([(mesh, None, None)], integrator="collocated", accel="bvh")
+    scene.camera = Camera(fov=0.8, origin=float3(1.5, 0.2, 0.0), target=float3(0, 0, 0))
+    data = scene._data
+    print(f"tris: {data.accel.num_triangles} nodes: {data.accel.node_packed.shape[0]}", flush=True)
+    coords = _pixel_grid((512, 512))
+    smp = make_sampler("lcg", coords, 0, 1, 0)
+    o, d, smp = _primary_rays(coords, scene.camera, smp, (512, 512), True)
+    o = jax.block_until_ready(o)
+    n = o.shape[0]
+
+    def timeit(name, fn, *a, iters=3):
+        out = fn(*a)
+        float(jax.tree.leaves(out)[0].reshape(-1)[0])
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*a)
+        float(jax.tree.leaves(out)[0].reshape(-1)[0])
+        dt = (time.perf_counter() - t0) / iters
+        print(f"{name:>22s}: {dt*1e3:8.1f} ms  ({n/dt/1e6:5.2f} Mrays/s)", flush=True)
+
+    for tiered in (False, True):
+        trace_mod.TIERED_ENABLED = tiered
+        tag = "tiered" if tiered else "plain"
+        timeit(f"closest ({tag})", jax.jit(lambda o, d: trace_closest(data.accel, o, d).t), o, d)
+        timeit(f"any ({tag})", jax.jit(lambda o, d: trace_any(data.accel, o, d, t_min=1e-4, t_max=3.0)), o, d)
+    trace_mod.TIERED_ENABLED = False
+
+
+if __name__ == "__main__":
+    main()

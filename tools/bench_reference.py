@@ -40,12 +40,19 @@ def main():
         fov=0.8, origin=float3(1.5, 0.3, 0.0), target=float3(0.0, 0.0, 0.0)
     )
     material = jnp.full((1024, 1024, 4), 0.5, jnp.float32)
+    # the direct backward at 64-spp windows is a single long device call
+    # that can trip the axon worker's execution-time kill; smaller windows
+    # keep per-call runtime bounded (identical sampling)
+    scene.max_spp_per_call = 16
 
     def loss(m, seed):
         img = scene.render(m, res=RES, spp=SPP, seed=seed)
         return jnp.sum(img[..., :3])
 
-    step = jax.jit(jax.value_and_grad(loss))
+    # NO outer jit: Scene.render slices spp into windows precisely so each
+    # device execution stays under the remote worker's ~1-minute kill; an
+    # outer jit would fuse all windows (fwd+bwd) into one giant program.
+    step = jax.value_and_grad(loss)
     l, g = step(material, jnp.asarray(0, jnp.int32))
     _ = float(g.sum())
     times = []

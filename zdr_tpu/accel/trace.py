@@ -353,6 +353,13 @@ def _bvh_stackless(accel: Accel, o, d, t_min, t_max, want_closest: bool):
 
 
 TIERED_MIN_RAYS = 65536  # below this the compaction machinery isn't worth it
+# Opt-in: the tiered traversal executes ~2.8x faster than the plain
+# stackless loop on big meshes (BASELINE.md), but its lax.switch over four
+# per-width bodies inflates XLA compile time prohibitively when embedded in
+# integrator render graphs on the axon remote-compile path (minutes per
+# config; observed compile-helper kills). Standalone tracing workloads and
+# tools/bench_bigmesh.py flip this on.
+TIERED_ENABLED = False
 
 
 def _bvh_stackless_tiered(accel: Accel, o, d, t_min, t_max, want_closest: bool):
@@ -521,7 +528,7 @@ def trace_closest(accel: Accel, o: jnp.ndarray, d: jnp.ndarray, t_min=0.0, t_max
         if accel.node_packed is not None:
             trav = (
                 _bvh_stackless_tiered
-                if o.shape[0] >= TIERED_MIN_RAYS
+                if TIERED_ENABLED and o.shape[0] >= TIERED_MIN_RAYS
                 else _bvh_stackless
             )
             best_t, prim, u, v = trav(accel, o, d, t_min, t_max, True)
@@ -556,7 +563,7 @@ def trace_any(accel: Accel, o: jnp.ndarray, d: jnp.ndarray, t_min=1e-4, t_max=1e
         if accel.node_packed is not None:
             trav = (
                 _bvh_stackless_tiered
-                if o.shape[0] >= TIERED_MIN_RAYS
+                if TIERED_ENABLED and o.shape[0] >= TIERED_MIN_RAYS
                 else _bvh_stackless
             )
             return trav(accel, o, d, t_min, t_max, False)
