@@ -19,3 +19,17 @@ if "host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """XLA's CPU backend_compile segfaults nondeterministically deep into
+    long many-compile pytest sessions (observed twice, different tests,
+    always inside backend_compile_and_load; every file passes alone).
+    Dropping the accumulated compiled-program state between modules keeps
+    the per-process compile count bounded."""
+    yield
+    jax.clear_caches()

@@ -9,11 +9,15 @@ from ..geometry.mesh import Geometry
 from .bvh import build_bvh
 from .types import Accel
 
-# Below this many triangles the dense intersector wins on TPU (no gathers,
-# no divergence); above it BVH traversal wins (measured: the dense sweep is
-# O(N_rays * T) and already loses badly by ~1k triangles — a 962-triangle
-# sphere cost ~50 ms/trace dense vs single-digit ms via BVH).
-AUTO_BVH_THRESHOLD = 256
+# Below this many triangles the dense Pallas sweep wins on TPU: it streams
+# the whole VMEM-resident triangle table with zero gathers, and measured
+# (262k rays, packed (T_pad, 16) layout) it beats the stackless BVH across
+# its entire VMEM-feasible range — 18 ms at 960 tris vs ~420 ms traversal,
+# 208 ms at 25k tris vs >1 s. The cap is the ~512 B/triangle VMEM footprint
+# (Mosaic needs the dynamic scalar index on sublanes, so the 16-wide
+# component axis pads to 128 lanes); beyond it the escape-link BVH takes
+# over.
+AUTO_BVH_THRESHOLD = 20480
 
 
 def build_accel(geom: Geometry, method: str = "auto", chunk: int = 0) -> Accel:

@@ -33,7 +33,7 @@ _BIG = jnp.float32(1e30)
 
 
 def _closest_kernel(n_tris: int, tri_refs, ray_refs, out_refs):
-    (p0x, p0y, p0z, e1x, e1y, e1z, e2x, e2y, e2z) = tri_refs
+    (tri_r,) = tri_refs  # (T_pad, 16): cols 0-8 = p0/e1/e2 xyz components
     ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, tmin_r, tmax_r = ray_refs
     t_out, u_out, v_out, prim_out = out_refs
 
@@ -43,15 +43,15 @@ def _closest_kernel(n_tris: int, tri_refs, ray_refs, out_refs):
 
     def body(t_i, carry):
         best_t, best_u, best_v, best_prim = carry
-        ap0x = p0x[t_i, 0]
-        ap0y = p0y[t_i, 0]
-        ap0z = p0z[t_i, 0]
-        ae1x = e1x[t_i, 0]
-        ae1y = e1y[t_i, 0]
-        ae1z = e1z[t_i, 0]
-        ae2x = e2x[t_i, 0]
-        ae2y = e2y[t_i, 0]
-        ae2z = e2z[t_i, 0]
+        ap0x = tri_r[t_i, 0]
+        ap0y = tri_r[t_i, 1]
+        ap0z = tri_r[t_i, 2]
+        ae1x = tri_r[t_i, 3]
+        ae1y = tri_r[t_i, 4]
+        ae1z = tri_r[t_i, 5]
+        ae2x = tri_r[t_i, 6]
+        ae2y = tri_r[t_i, 7]
+        ae2z = tri_r[t_i, 8]
         hx = dy * ae2z - dz * ae2y
         hy = dz * ae2x - dx * ae2z
         hz = dx * ae2y - dy * ae2x
@@ -101,7 +101,7 @@ def _closest_kernel(n_tris: int, tri_refs, ray_refs, out_refs):
 
 
 def _any_kernel(n_tris: int, tri_refs, ray_refs, out_refs):
-    (p0x, p0y, p0z, e1x, e1y, e1z, e2x, e2y, e2z) = tri_refs
+    (tri_r,) = tri_refs  # (T_pad, 16)
     ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, tmin_r, tmax_r = ray_refs
     (occ_out,) = out_refs
     ox, oy, oz = ox_r[:], oy_r[:], oz_r[:]
@@ -110,15 +110,15 @@ def _any_kernel(n_tris: int, tri_refs, ray_refs, out_refs):
     t_max = tmax_r[:]
 
     def body2(t_i, occ):
-        ap0x = p0x[t_i, 0]
-        ap0y = p0y[t_i, 0]
-        ap0z = p0z[t_i, 0]
-        ae1x = e1x[t_i, 0]
-        ae1y = e1y[t_i, 0]
-        ae1z = e1z[t_i, 0]
-        ae2x = e2x[t_i, 0]
-        ae2y = e2y[t_i, 0]
-        ae2z = e2z[t_i, 0]
+        ap0x = tri_r[t_i, 0]
+        ap0y = tri_r[t_i, 1]
+        ap0z = tri_r[t_i, 2]
+        ae1x = tri_r[t_i, 3]
+        ae1y = tri_r[t_i, 4]
+        ae1z = tri_r[t_i, 5]
+        ae2x = tri_r[t_i, 6]
+        ae2y = tri_r[t_i, 7]
+        ae2z = tri_r[t_i, 8]
         hx = dy * ae2z - dz * ae2y
         hy = dz * ae2x - dx * ae2z
         hz = dx * ae2y - dy * ae2x
@@ -163,10 +163,9 @@ def _pad_rows(x: jnp.ndarray, rows: int) -> jnp.ndarray:
     return jnp.pad(x, (0, pad)).reshape(rows, LANES)
 
 
-@functools.partial(jax.jit, static_argnames=("want_closest", "interpret"))
-def _pallas_trace(tri_planes, o, d, t_min, t_max, want_closest: bool, interpret: bool):
+@functools.partial(jax.jit, static_argnames=("n_tris", "want_closest", "interpret"))
+def _pallas_trace(tri_packed, n_tris, o, d, t_min, t_max, want_closest: bool, interpret: bool):
     n = o.shape[0]
-    n_tris = tri_planes[0].shape[0]
     rows_total = math.ceil(n / LANES)
     rows_total = math.ceil(rows_total / BLOCK_ROWS) * BLOCK_ROWS
     shape2d = (rows_total, LANES)
@@ -183,12 +182,12 @@ def _pallas_trace(tri_planes, o, d, t_min, t_max, want_closest: bool, interpret:
     ]
 
     grid = (rows_total // BLOCK_ROWS,)
-    tri_spec = pl.BlockSpec((tri_planes[0].shape[0], 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    tri_spec = pl.BlockSpec(tri_packed.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
     ray_spec = pl.BlockSpec((BLOCK_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
     if want_closest:
         def kernel(*refs):
-            _closest_kernel(n_tris, refs[:9], refs[9:17], refs[17:])
+            _closest_kernel(n_tris, refs[:1], refs[1:9], refs[9:])
 
         out_shape = [
             jax.ShapeDtypeStruct(shape2d, jnp.float32),
@@ -199,42 +198,52 @@ def _pallas_trace(tri_planes, o, d, t_min, t_max, want_closest: bool, interpret:
         outs = pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=[tri_spec] * 9 + [ray_spec] * 8,
+            in_specs=[tri_spec] + [ray_spec] * 8,
             out_specs=[ray_spec] * 4,
             out_shape=out_shape,
             interpret=interpret,
-        )(*tri_planes, *ray_planes)
+        )(tri_packed, *ray_planes)
         t, u, v, prim = (x.reshape(-1)[:n] for x in outs)
         return t, u, v, prim
 
     def kernel(*refs):
-        _any_kernel(n_tris, refs[:9], refs[9:17], refs[17:])
+        _any_kernel(n_tris, refs[:1], refs[1:9], refs[9:])
 
     outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[tri_spec] * 9 + [ray_spec] * 8,
+        in_specs=[tri_spec] + [ray_spec] * 8,
         out_specs=[pl.BlockSpec((BLOCK_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)],
         out_shape=[jax.ShapeDtypeStruct(shape2d, jnp.int32)],
         interpret=interpret,
-    )(*tri_planes, *ray_planes)
+    )(tri_packed, *ray_planes)
     return outs[0].reshape(-1)[:n] != 0
 
 
-def make_tri_planes(p0, e1, e2):
-    """(T,3) triangle arrays -> 9 (T,1) component planes (VMEM layout)."""
-    return tuple(
-        jnp.asarray(a[:, c]).reshape(-1, 1)
-        for a in (p0, e1, e2)
-        for c in range(3)
-    )
+def make_tri_packed(p0, e1, e2):
+    """(T,3) triangle arrays -> ONE (T_pad, 16) component-column array.
+
+    The original layout — nine separate (T, 1) planes — tiled each plane's
+    single-lane axis up to 128 VMEM lanes (4.6 KB per triangle!), OOMing
+    the kernel beyond ~3k triangles. One array with components in columns
+    is 512 B/triangle (lanes pad 16 -> 128; Mosaic requires the dynamic
+    scalar index on the sublane axis, so the long axis cannot sit on
+    lanes), lifting the dense sweep's VMEM cap to ~16k triangles."""
+    t = p0.shape[0]
+    t_pad = -(-max(t, 1) // 8) * 8
+    packed = jnp.concatenate([p0, e1, e2], axis=1)  # (T, 9)
+    return jnp.pad(packed, ((0, t_pad - t), (0, 7)))
 
 
 def trace_closest_pallas(accel, o, d, t_min, t_max, interpret: bool = False):
-    planes = make_tri_planes(accel.p0, accel.e1, accel.e2)
-    return _pallas_trace(planes, o, d, t_min, t_max, True, interpret)
+    packed = make_tri_packed(accel.p0, accel.e1, accel.e2)
+    return _pallas_trace(
+        packed, accel.p0.shape[0], o, d, t_min, t_max, True, interpret
+    )
 
 
 def trace_any_pallas(accel, o, d, t_min, t_max, interpret: bool = False):
-    planes = make_tri_planes(accel.p0, accel.e1, accel.e2)
-    return _pallas_trace(planes, o, d, t_min, t_max, False, interpret)
+    packed = make_tri_packed(accel.p0, accel.e1, accel.e2)
+    return _pallas_trace(
+        packed, accel.p0.shape[0], o, d, t_min, t_max, False, interpret
+    )
