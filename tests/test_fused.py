@@ -122,3 +122,54 @@ class TestWindowing:
             type(s).max_spp_per_call = old
         img_1 = np.asarray(s.render(MAT, res=(12, 12), spp=10, seed=0))
         np.testing.assert_allclose(img_w, img_1, atol=2e-5)
+
+
+class TestFusedDirect:
+    """Direct integrator on the fused kernels (integrators/direct_fused.py):
+    one fused bounce + an extra emitter-lookup trace."""
+
+    def _scene(self):
+        s = _cbox()
+        s.integrator = "direct"
+        return s
+
+    def test_forward_matches_unfused(self):
+        s = self._scene()
+        from zdr_tpu.integrators.direct_fused import direct_fused_eligible
+
+        assert direct_fused_eligible(s._data, s._config((16, 16), 2))
+        i_f = np.asarray(s.render(MAT, res=(24, 24), spp=4, seed=1))
+        s.fused = False
+        i_u = np.asarray(s.render(MAT, res=(24, 24), spp=4, seed=1))
+        # same draws (the extra in-kernel RR uniform is unused), same math up
+        # to two documented epsilon-level mask deviations
+        np.testing.assert_allclose(i_f, i_u, atol=2e-3)
+        assert np.abs(i_f - i_u).mean() < 1e-5
+
+    def test_grad_unbiased_vs_fd(self):
+        s = self._scene()
+        material = jax.random.uniform(
+            jax.random.PRNGKey(0), (16, 16, 4), minval=0.25, maxval=0.75
+        )
+
+        def loss(m):
+            return jnp.sum(s.render(m, res=(24, 24), spp=96, seed=3)[..., :3])
+
+        g = np.asarray(jax.grad(loss)(material))
+        gc = np.abs(g[..., 0])
+        ti = np.unravel_index(np.argmax(gc), gc.shape) + (0,)
+        ad = float(g[ti])
+        fd = (
+            float(loss(material.at[ti].add(0.01)))
+            - float(loss(material.at[ti].add(-0.01)))
+        ) / 0.02
+        assert abs(ad - fd) <= 0.1 * abs(fd), (ad, fd)
+
+    def test_use_mis_off_falls_back(self):
+        s = self._scene()
+        s.use_mis = False
+        from zdr_tpu.integrators.direct_fused import direct_fused_eligible
+
+        assert not direct_fused_eligible(s._data, s._config((8, 8), 1))
+        img = s.render(MAT, res=(8, 8), spp=1, seed=0)
+        assert bool(jnp.isfinite(img).all())

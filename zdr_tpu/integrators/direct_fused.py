@@ -1,0 +1,211 @@
+"""Direct integrator on the fused Pallas bounce kernels.
+
+The reference-protocol benchmark (direct + MIS, tools/bench_reference.py)
+is glue-bound, not trace-bound: the unfused direct pipeline pays the
+(N, 3)-relayout tax at every XLA op. Direct lighting is exactly ONE fused
+path bounce plus one extra trace, so it reuses pallas_bounce verbatim:
+
+    kernel1(primary trace+interact) -> texture gather -> kernel2
+      (NEE + shadow + GGX + bounce sample) = emitter display + NEE term
+    kernel1(bounce ray, pdf_prev = bounce pdf) = the MIS-weighted emitter
+      lookup of the BSDF branch (k1's emitter-hit MIS is the same balanced
+      heuristic the direct estimator applies)
+    radiance = k2.radiance + k2.beta_next * k1b.add_emit
+
+The backward feeds kernel2's PRB gradient taps with le_rem = the sample's
+FULL radiance: after the kernel subtracts its own local terms, the
+remaining-path radiance is exactly the bounce contribution, and the
+Le/bsdf continuation adjoint reduces to direct's mis2/pdf2 * emission2
+cotangent (integrators/direct.py:246-249).
+
+Known (documented) epsilon-level deviations from the unfused direct:
+kernel2 gates NEE on wi_local.z >= 1e-4 (path semantics; unfused direct
+uses > 0), and the bounce-hit light pdf measures distance from the offset
+ray origin (path semantics). Both are tolerance-level; tests compare at
+2e-3.
+
+Scope gates mirror path_fused plus use_mis=True (the bounce branch always
+runs in kernel2).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..scenedata import SceneData
+from ..texture import cm_to_texture, pack_quads, segment_scatter_add4
+from .pallas_bounce import (
+    LANES,
+    build_fused_const,
+    fused_shade,
+    fused_trace_interact,
+    pad_to_planes,
+    planes_rows,
+    read_quads_planes,
+)
+from .path_fused import _interpret, _start_sample_planes, fused_eligible
+from .path_persistent import SCATTER_BATCH
+from .wrapper import RADIANCE_CLAMP
+
+
+def direct_fused_eligible(data: SceneData, cfg) -> bool:
+    import dataclasses
+
+    if cfg.integrator != "direct" or not cfg.use_mis:
+        return False
+    # reuse the path gates (lights/sampler/scene size) via a path-shaped cfg
+    probe = dataclasses.replace(cfg, integrator="path", persistent=True)
+    return fused_eligible(data, probe)
+
+
+def _setup(data, material, cfg, coords):
+    meta = data.fused_meta
+    scene_pack, light_pack = build_fused_const(data, meta)
+    packed = pack_quads(material, getattr(cfg, "texture_bf16", False))
+    n_pix = coords.shape[0]
+    rows = planes_rows(n_pix)
+    pxp = pad_to_planes(coords[:, 0], rows)
+    pyp = pad_to_planes(coords[:, 1], rows)
+    real = pad_to_planes(jnp.ones((n_pix,), jnp.int32), rows)
+    return meta, scene_pack, light_pack, packed, rows, pxp, pyp, real
+
+
+def _one_sample(data, material, camera, seed, cfg, setup, it, want_grad,
+                grad_extra=None):
+    """Shared per-sample pipeline. Returns (radiance3, k2grad_outputs)."""
+    meta, scene_pack, light_pack, packed, rows, pxp, pyp, real = setup
+    h, w = material.shape[0], material.shape[1]
+    interp = _interpret()
+    sidx = jnp.zeros((rows, LANES), jnp.int32) + it
+    state, o, d = _start_sample_planes(
+        pxp, pyp, camera, seed, sidx, cfg.res, cfg.use_tent_filter
+    )
+    big = jnp.full((rows, LANES), 1e30, jnp.float32)
+    k1 = fused_trace_interact(
+        scene_pack, meta.num_tris, (*o, *d, big, real), interpret=interp
+    )
+    (px, py, pz, ux, uy, nsx, nsy, nsz, ngx, ngy, ngz,
+     shade, aer, aeg, aeb) = k1
+    mat_p = read_quads_planes(ux, uy, packed, h, w)
+    onesf = jnp.ones((rows, LANES), jnp.float32)
+    zeros_i = jnp.zeros((rows, LANES), jnp.int32)
+    ray_planes = (
+        px, py, pz, nsx, nsy, nsz, ngx, ngy, ngz, *d, shade,
+        *mat_p, onesf, onesf, onesf, zeros_i, state, aer, aeg, aeb,
+    )
+    # rr_depth=2 with depth plane 0 => no Russian roulette fires
+    k2 = fused_shade(
+        scene_pack, light_pack, ray_planes, meta, 2, 16, h, w,
+        interpret=interp,
+    )
+    (radr, radg, radb, bnr, bng, bnb, pdfb,
+     nox, noy, noz, ndx, ndy, ndz, alive_i, _state2) = k2
+    k1b = fused_trace_interact(
+        scene_pack, meta.num_tris,
+        (nox, noy, noz, ndx, ndy, ndz, pdfb, alive_i),
+        interpret=interp,
+    )
+    rad = (
+        radr + bnr * k1b[12],
+        radg + bng * k1b[13],
+        radb + bnb * k1b[14],
+    )
+    if not want_grad:
+        return rad, None
+    lgr, lgg, lgb = grad_extra
+    k2g = fused_shade(
+        scene_pack, light_pack, ray_planes, meta, 2, 16, h, w,
+        grad_planes=(real, rad[0], rad[1], rad[2], lgr, lgg, lgb, ux, uy),
+        interpret=interp,
+    )
+    return rad, k2g[15:]  # (le_rem3 (unused), g0..g3, ids)
+
+
+def render_direct_fused(
+    data: SceneData, material, camera, seed, cfg, coords, it_start=0
+):
+    """Fused direct forward: spp-averaged radiance -> (n_pix, 3)."""
+    setup = _setup(data, material, cfg, coords)
+    rows = setup[4]
+    n_pix = coords.shape[0]
+    count = cfg.window_count
+    start = jnp.asarray(it_start, jnp.int32)
+
+    def one(acc, it):
+        rad, _ = _one_sample(data, material, camera, seed, cfg, setup, it, False)
+        good = ~(jnp.isnan(rad[0]) | jnp.isnan(rad[1]) | jnp.isnan(rad[2]))
+        acc = tuple(
+            acc[c] + jnp.where(good, jnp.clip(rad[c], 0.0, RADIANCE_CLAMP), 0.0)
+            for c in range(3)
+        )
+        return acc, None
+
+    zeros = jnp.zeros((rows, LANES), jnp.float32)
+    acc, _ = jax.lax.scan(one, (zeros, zeros, zeros), start + jnp.arange(count))
+    out = jnp.stack([acc[c].reshape(-1)[:n_pix] for c in range(3)], axis=-1)
+    return out / count
+
+
+def render_direct_backward_fused(
+    data: SceneData, material, camera, seed, cfg, coords, le_grad, it_start=0
+):
+    """Fused direct gradient walk -> d_material (H, W, 4)."""
+    setup = _setup(data, material, cfg, coords)
+    rows = setup[4]
+    h, w = material.shape[0], material.shape[1]
+    n_bins = h * w
+    n_lanes = rows * LANES
+    material = jax.lax.stop_gradient(material)
+    count = cfg.window_count
+    start = jnp.asarray(it_start, jnp.int32)
+
+    lgr = pad_to_planes(le_grad[:, 0], rows)
+    lgg = pad_to_planes(le_grad[:, 1], rows)
+    lgb = pad_to_planes(le_grad[:, 2], rows)
+
+    sentinel_f = jax.lax.bitcast_convert_type(
+        jnp.full((1, n_lanes), n_bins, jnp.int32), jnp.float32
+    )
+    buf0 = jnp.concatenate(
+        [sentinel_f, jnp.zeros((4, n_lanes), jnp.float32)], axis=0
+    )[None].repeat(SCATTER_BATCH, axis=0)
+
+    def flush(d_mat, buf):
+        ids = jax.lax.bitcast_convert_type(buf[:, 0, :], jnp.int32).reshape(-1)
+        chans = [buf[:, c + 1, :].reshape(-1) for c in range(4)]
+        return d_mat + segment_scatter_add4(
+            ids, chans, n_bins, packed=cfg.packed_splat
+        )
+
+    def one(carry, idx_it):
+        d_mat, buf = carry
+        slot_i, it = idx_it
+        rad, g = _one_sample(
+            data, material, camera, seed, cfg, setup, it, True,
+            grad_extra=(lgr, lgg, lgb),
+        )
+        _, _, _, g0, g1, g2, g3, ids = g
+        slot = jnp.mod(slot_i, SCATTER_BATCH)
+        row = jnp.concatenate(
+            [
+                jax.lax.bitcast_convert_type(ids.reshape(1, -1), jnp.float32),
+                g0.reshape(1, -1), g1.reshape(1, -1),
+                g2.reshape(1, -1), g3.reshape(1, -1),
+            ],
+            axis=0,
+        )
+        buf = jax.lax.dynamic_update_index_in_dim(buf, row, slot, 0)
+        do_flush = slot == SCATTER_BATCH - 1
+        d_mat = jax.lax.cond(
+            do_flush, lambda a: flush(*a), lambda a: a[0], (d_mat, buf)
+        )
+        buf = jnp.where(do_flush, buf0, buf)
+        return (d_mat, buf), None
+
+    init = (jnp.zeros((4, n_bins), material.dtype), buf0)
+    (d_mat, buf), _ = jax.lax.scan(
+        one, init, (jnp.arange(count), start + jnp.arange(count))
+    )
+    d_mat = flush(d_mat, buf)
+    return cm_to_texture(d_mat, h, w)

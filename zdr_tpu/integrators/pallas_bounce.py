@@ -273,18 +273,24 @@ def build_fused_const(data, meta: FusedMeta):
     # denominator of sample_light_pdf (lights.py:158): n * tc * area
     inv_pdf_const = n_lights * tc * area
 
-    def planes(arr):  # (T,) or (T, C) -> list of (T, 1)
-        if arr.ndim == 1:
-            return [arr.reshape(-1, 1).astype(jnp.float32)]
-        return [arr[:, k].reshape(-1, 1).astype(jnp.float32) for k in range(arr.shape[1])]
-
-    del emissive  # kernel derives the flag from the emission planes
-    tri_planes = planes(p0) + planes(e1) + planes(e2)
-    attr_planes = (
-        planes(uv0) + planes(du1) + planes(du2)
-        + planes(n0) + planes(dn1) + planes(dn2)
-        + planes(ng) + planes(em) + planes(inv_pdf_const)
-    )
+    del emissive  # kernel derives the flag from the emission columns
+    # ONE (T_pad, 32) column-packed scene table: cols 0-8 tri (p0/e1/e2),
+    # 9-14 uv (uv0/du1/du2), 15-23 normals (n0/dn1/dn2), 24-26 ng, 27-29
+    # emission, 30 pdf const. Per-component (T, 1) planes tile their
+    # single-lane axis up to 128 VMEM lanes (4.6 KB/tri — kernel1 OOMed at
+    # ~950 triangles); column packing is 128 B/tri, with the dynamic scalar
+    # index on the sublane axis as Mosaic requires.
+    packed = jnp.concatenate(
+        [
+            a.astype(jnp.float32)
+            for a in (p0, e1, e2, uv0, du1, du2, n0, dn1, dn2, ng, em,
+                      inv_pdf_const[:, None])
+        ],
+        axis=1,
+    )  # (T, 31)
+    t_n = packed.shape[0]
+    t_pad = -(-t_n // 8) * 8
+    scene_pack = jnp.pad(packed, ((0, t_pad - t_n), (0, 32 - packed.shape[1])))
 
     # light-triangle table, in meta order
     lids = jnp.asarray(meta.light_tri_ids, jnp.int32)
@@ -297,21 +303,22 @@ def build_fused_const(data, meta: FusedMeta):
     l_area = 0.5 * jnp.linalg.norm(lc, axis=-1)
     l_tc = g.inst_tri_count[inst[lids]].astype(jnp.float32)
     l_inv_pdf = n_lights * l_tc * l_area  # lights.py:105-107 denominator
-    light_planes = (
-        planes(lv0) + planes(le1) + planes(le2) + planes(lem)
-        + planes(l_ng) + planes(l_inv_pdf)
-    )
-    return tuple(tri_planes), tuple(attr_planes), tuple(light_planes)
+    lcols = jnp.concatenate(
+        [lv0, le1, le2, lem, l_ng, l_inv_pdf[:, None]], axis=1
+    ).astype(jnp.float32)  # (L, 16)
+    l_n = lcols.shape[0]
+    l_pad = -(-l_n // 8) * 8
+    light_pack = jnp.pad(lcols, ((0, l_pad - l_n), (0, 0)))
+    return scene_pack, light_pack
 
 
 # ------------------------------------------------------------- kernel 1
 
 
 def _trace_interact_kernel(n_tris: int, refs):
-    tri = refs[:9]
-    attr = refs[9:31]
-    (ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, pdfp_r, act_r) = refs[31:39]
-    outs = refs[39:]
+    scene_r = refs[0]  # (T_pad, 32) column-packed scene table
+    (ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, pdfp_r, act_r) = refs[1:9]
+    outs = refs[9:]
     (px_o, py_o, pz_o, ux_o, uy_o, nsx_o, nsy_o, nsz_o, ngx_o, ngy_o, ngz_o,
      shade_o, aer_o, aeg_o, aeb_o) = outs
 
@@ -325,9 +332,9 @@ def _trace_interact_kernel(n_tris: int, refs):
 
     def mt_body(ti, carry):
         best_t, best_u, best_v, best_prim = carry
-        p0 = (tri[0][ti, 0], tri[1][ti, 0], tri[2][ti, 0])
-        e1 = (tri[3][ti, 0], tri[4][ti, 0], tri[5][ti, 0])
-        e2 = (tri[6][ti, 0], tri[7][ti, 0], tri[8][ti, 0])
+        p0 = (scene_r[ti, 0], scene_r[ti, 1], scene_r[ti, 2])
+        e1 = (scene_r[ti, 3], scene_r[ti, 4], scene_r[ti, 5])
+        e2 = (scene_r[ti, 6], scene_r[ti, 7], scene_r[ti, 8])
         h = _vcross(d, e2)
         a = _vdot(e1, h)
         f = jnp.where(jnp.abs(a) > 1e-12, 1.0 / jnp.where(a == 0, 1.0, a), 0.0)
@@ -360,7 +367,7 @@ def _trace_interact_kernel(n_tris: int, refs):
     # second sweep: select the winning triangle's shading attributes
     def attr_body(ti, carry):
         m = prim == ti
-        vals = [jnp.where(m, attr[k][ti, 0], carry[k]) for k in range(22)]
+        vals = [jnp.where(m, scene_r[ti, 9 + k], carry[k]) for k in range(22)]
         return tuple(vals)
 
     a0 = tuple(jnp.zeros_like(o[0]) for _ in range(22))
@@ -422,9 +429,9 @@ def _shade_kernel(
     want_grad: bool,
     refs,
 ):
-    tri = refs[:9]
-    light = refs[9 : 9 + 16]
-    idx = 9 + 16
+    scene_r = refs[0]  # (T_pad, 32), cols 0-8 = tri p0/e1/e2
+    light_r = refs[1]  # (L_pad, 16)
+    idx = 2
     (px_r, py_r, pz_r, nsx_r, nsy_r, nsz_r, ngx_r, ngy_r, ngz_r,
      dx_r, dy_r, dz_r, shade_r, m0_r, m1_r, m2_r, m3_r,
      br_r, bg_r, bb_r, depth_r, st_r, aer_r, aeg_r, aeb_r) = refs[idx : idx + 25]
@@ -481,7 +488,7 @@ def _shade_kernel(
 
     def light_body(li, carry):
         m = l_sel == li
-        return tuple(jnp.where(m, light[k][li, 0], carry[k]) for k in range(16))
+        return tuple(jnp.where(m, light_r[li, k], carry[k]) for k in range(16))
 
     lt = jax.lax.fori_loop(0, L, light_body, tuple(lt))
     lv0 = (lt[0], lt[1], lt[2])
@@ -512,9 +519,9 @@ def _shade_kernel(
 
     # ---- shadow trace (trace_any, t_min=1e-4, t_max=l_dist)
     def occ_body(ti, occ):
-        p0 = (tri[0][ti, 0], tri[1][ti, 0], tri[2][ti, 0])
-        e1 = (tri[3][ti, 0], tri[4][ti, 0], tri[5][ti, 0])
-        e2 = (tri[6][ti, 0], tri[7][ti, 0], tri[8][ti, 0])
+        p0 = (scene_r[ti, 0], scene_r[ti, 1], scene_r[ti, 2])
+        e1 = (scene_r[ti, 3], scene_r[ti, 4], scene_r[ti, 5])
+        e2 = (scene_r[ti, 6], scene_r[ti, 7], scene_r[ti, 8])
         h = _vcross(wi_l, e2)
         a = _vdot(e1, h)
         f = jnp.where(jnp.abs(a) > 1e-12, 1.0 / jnp.where(a == 0, 1.0, a), 0.0)
@@ -699,12 +706,11 @@ def _plane_shape(r):
     return (r, LANES)
 
 
-def fused_trace_interact(tri_planes, attr_planes, rays, interpret=False):
+def fused_trace_interact(scene_pack, n_tris, rays, interpret=False):
     """kernel 1. rays: 8 planes (ox,oy,oz,dx,dy,dz,pdf_prev f32, active i32).
     Returns 15 planes: p(3), uv(2), ns(3), ng(3), shade(i32), add_emit(3)."""
     r = rays[0].shape[0]
     grid = (r // BLOCK_ROWS,)
-    t = tri_planes[0].shape[0]
     f32 = jnp.float32
     out_shape = (
         [jax.ShapeDtypeStruct(_plane_shape(r), f32)] * 11
@@ -712,19 +718,19 @@ def fused_trace_interact(tri_planes, attr_planes, rays, interpret=False):
         + [jax.ShapeDtypeStruct(_plane_shape(r), f32)] * 3
     )
     outs = pl.pallas_call(
-        lambda *refs: _trace_interact_kernel(t, refs),
+        lambda *refs: _trace_interact_kernel(n_tris, refs),
         grid=grid,
-        in_specs=[_const_spec(t)] * 31 + [_ray_spec()] * 8,
+        in_specs=[_const_spec2(scene_pack.shape)] + [_ray_spec()] * 8,
         out_specs=[_ray_spec()] * 15,
         out_shape=out_shape,
         interpret=interpret,
-    )(*tri_planes, *attr_planes, *rays)
+    )(scene_pack, *rays)
     return outs
 
 
 def fused_shade(
-    tri_planes,
-    light_planes,
+    scene_pack,
+    light_pack,
     ray_planes,
     meta: FusedMeta,
     rr_depth: int,
@@ -741,7 +747,6 @@ def fused_shade(
     state u32) + 8 backward planes (le_rem_next3, g0..g3, splat ids i32)."""
     r = ray_planes[0].shape[0]
     grid = (r // BLOCK_ROWS,)
-    t = tri_planes[0].shape[0]
     want_grad = grad_planes is not None
     f32 = jnp.float32
     out_shape = (
@@ -754,16 +759,18 @@ def fused_shade(
             jax.ShapeDtypeStruct(_plane_shape(r), jnp.int32)
         ]
     n_out = len(out_shape)
-    inputs = list(tri_planes) + list(light_planes) + list(ray_planes)
-    in_specs = [_const_spec(t)] * 9 + [_const_spec(len(meta.light_tri_ids))] * 16 + [
-        _ray_spec()
-    ] * 25
+    inputs = [scene_pack, light_pack] + list(ray_planes)
+    in_specs = [
+        _const_spec2(scene_pack.shape),
+        _const_spec2(light_pack.shape),
+    ] + [_ray_spec()] * 25
     if want_grad:
         inputs += list(grad_planes)
         in_specs += [_ray_spec()] * 9
     outs = pl.pallas_call(
         functools.partial(
-            _kernel2_entry, t, meta, rr_depth, max_depth, tex_h, tex_w, want_grad
+            _kernel2_entry, meta.num_tris, meta, rr_depth, max_depth, tex_h,
+            tex_w, want_grad,
         ),
         grid=grid,
         in_specs=in_specs,
@@ -776,6 +783,10 @@ def fused_shade(
 
 def _kernel2_entry(t, meta, rr_depth, max_depth, tex_h, tex_w, want_grad, *refs):
     _shade_kernel(t, meta, rr_depth, max_depth, tex_h, tex_w, want_grad, refs)
+
+
+def _const_spec2(shape):
+    return pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
 
 
 def pad_to_planes(x, rows):

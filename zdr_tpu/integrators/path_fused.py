@@ -112,7 +112,7 @@ def _start_sample_planes(pxp, pyp, camera, seed, sample_idx, res, use_tent):
 
 def _setup(data, material, cfg, coords, it_start):
     meta = data.fused_meta
-    tri_p, attr_p, light_p = build_fused_const(data, meta)
+    scene_pack, light_pack = build_fused_const(data, meta)
     packed = pack_quads(material, getattr(cfg, "texture_bf16", False))
     n_pix = coords.shape[0]
     rows = planes_rows(n_pix)
@@ -123,14 +123,15 @@ def _setup(data, material, cfg, coords, it_start):
     real = pad_to_planes(jnp.ones((n_pix,), jnp.int32), rows) != 0
     start_idx = jnp.zeros((rows, LANES), jnp.int32) + win_start
     stop_idx = jnp.where(real, win_start + win_count, win_start)
-    return meta, tri_p, attr_p, light_p, packed, rows, pxp, pyp, start_idx, stop_idx
+    return (meta, scene_pack, light_pack, packed, rows, pxp, pyp,
+            start_idx, stop_idx)
 
 
 def render_path_fused(
     data: SceneData, material, camera, seed, cfg, coords, it_start=0
 ):
     """Fused forward: spp-averaged radiance -> (n_pix, 3)."""
-    (meta, tri_p, attr_p, light_p, packed, rows, pxp, pyp,
+    (meta, scene_pack, light_pack, packed, rows, pxp, pyp,
      start_idx, stop_idx) = _setup(data, material, cfg, coords, it_start)
     n_pix = coords.shape[0]
     h, w = material.shape[0], material.shape[1]
@@ -162,7 +163,7 @@ def render_path_fused(
     def body(s):
         lane_live = s["sample_idx"] < stop_idx
         k1 = fused_trace_interact(
-            tri_p, attr_p,
+            scene_pack, meta.num_tris,
             (*s["o"], *s["d"], s["pdf_prev"], lane_live.astype(jnp.int32)),
             interpret=interp,
         )
@@ -170,7 +171,7 @@ def render_path_fused(
          shade, aer, aeg, aeb) = k1
         mat_p = read_quads_planes(ux, uy, packed, h, w)
         k2 = fused_shade(
-            tri_p, light_p,
+            scene_pack, light_pack,
             (px, py, pz, nsx, nsy, nsz, ngx, ngy, ngz, *s["d"], shade,
              *mat_p, *s["beta"], s["depth"], s["state"], aer, aeg, aeb),
             meta, rr_d, md, h, w, interpret=interp,
@@ -231,7 +232,7 @@ def render_path_backward_fused(
     the same stream while kernel 2 emits the gradient taps and splat ids;
     the compacted/packed flush (texture.segment_scatter_add4) drains the
     (SB, 5, N) buffer."""
-    (meta, tri_p, attr_p, light_p, packed, rows, pxp, pyp,
+    (meta, scene_pack, light_pack, packed, rows, pxp, pyp,
      start_idx, stop_idx) = _setup(data, material, cfg, coords, it_start)
     n_pix = coords.shape[0]
     h, w = material.shape[0], material.shape[1]
@@ -290,7 +291,7 @@ def render_path_backward_fused(
         lane_live = s["sample_idx"] < stop_idx
         in_grad = lane_live & (s["phase"] == 1)
         k1 = fused_trace_interact(
-            tri_p, attr_p,
+            scene_pack, meta.num_tris,
             (*s["o"], *s["d"], s["pdf_prev"], lane_live.astype(jnp.int32)),
             interpret=interp,
         )
@@ -303,7 +304,7 @@ def render_path_backward_fused(
         glg = jnp.where(s["gok"], lgg, 0.0)
         glb = jnp.where(s["gok"], lgb, 0.0)
         k2 = fused_shade(
-            tri_p, light_p,
+            scene_pack, light_pack,
             (px, py, pz, nsx, nsy, nsz, ngx, ngy, ngz, *s["d"], shade,
              *mat_p, *s["beta"], s["depth"], s["state"], aer, aeg, aeb),
             meta, rr_d, md, h, w,

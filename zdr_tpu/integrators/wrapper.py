@@ -131,6 +131,14 @@ def render_forward_rays(
             return render_path_fused(data, material, camera, seed, cfg, coords, it_start)
         return render_path_persistent(data, material, camera, seed, cfg, coords, it_start)
 
+    if cfg.integrator == "direct":
+        from .direct_fused import direct_fused_eligible, render_direct_fused
+
+        if cfg.bilinear and material.shape[0] >= 2 and material.shape[1] >= 2 and direct_fused_eligible(data, cfg):
+            return render_direct_fused(
+                data, material, camera, seed, cfg, coords, it_start
+            )
+
     start, count = it_start, cfg.window_count
 
     def one_sample(acc, it):
@@ -193,6 +201,17 @@ def render_grad_rays(
         return render_path_backward_persistent(
             data, material, camera, seed, cfg, coords, le_grad, it_start
         )
+
+    if cfg.integrator == "direct":
+        from .direct_fused import (
+            direct_fused_eligible,
+            render_direct_backward_fused,
+        )
+
+        if cfg.bilinear and material.shape[0] >= 2 and material.shape[1] >= 2 and direct_fused_eligible(data, cfg):
+            return render_direct_backward_fused(
+                data, material, camera, seed, cfg, coords, le_grad, it_start
+            )
 
     start, count = it_start, cfg.window_count
 
