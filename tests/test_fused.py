@@ -26,6 +26,7 @@ def _cbox():
     s.camera = Camera(
         fov=0.87, origin=float3(-0.2, 2.6, -0.5), target=float3(-0.2, 2.6, -5.0)
     )
+    s.fused = "force"  # CPU CI runs pallas interpret mode
     return s
 
 
@@ -69,6 +70,7 @@ class TestFusedBackward:
 class TestEligibility:
     def test_env_scene_falls_back(self):
         s = Scene([(make_uv_sphere(0.5), None, None)], integrator="path")
+        s.fused = "force"
         s.add_envmap(make_test_envmap())
         assert not fused_eligible(s._data, s._config((8, 8), 1))
         img = s.render(MAT, res=(8, 8), spp=1, seed=0)  # still renders
@@ -83,6 +85,11 @@ class TestEligibility:
     def test_no_lights_means_no_meta(self):
         s = Scene([(make_uv_sphere(0.5), None, None)], integrator="path")
         assert s._data.fused_meta is None
+
+    def test_cpu_auto_mode_falls_back(self):
+        s = _cbox()
+        s.fused = "auto"
+        assert not fused_eligible(s._data, s._config((8, 8), 1))
 
     def test_sampler_gate(self):
         s = _cbox()

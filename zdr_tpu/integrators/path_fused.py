@@ -38,8 +38,13 @@ def _interpret() -> bool:
 def fused_eligible(data: SceneData, cfg) -> bool:
     from .pallas_bounce import FUSED_MAX_TRIS
 
+    mode = getattr(cfg, "fused", "auto")
+    if mode == "auto" or mode is True:
+        on = jax.default_backend() != "cpu"
+    else:
+        on = mode == "force"
     return (
-        getattr(cfg, "fused", True)
+        on
         and cfg.integrator == "path"
         and cfg.persistent
         and cfg.stochastic_splat

@@ -57,10 +57,13 @@ class RenderConfig:
     # splat flush packs channel pairs as bf16 (2x fewer scatter updates at
     # ~0.3% relative splat quantization; see texture.segment_scatter_add4)
     packed_splat: bool = True
-    # path integrator: fused Pallas bounce megakernels when the scene is in
-    # scope (mesh-lights-only, lcg sampler, small dense scene — see
-    # integrators/pallas_bounce.py); falls back to the unfused walk otherwise
-    fused: bool = True
+    # path/direct integrators: fused Pallas bounce megakernels when the
+    # scene is in scope (mesh-lights-only, lcg sampler, small dense scene —
+    # see integrators/pallas_bounce.py). "auto" uses them on real
+    # accelerators only (pallas interpret mode on CPU is ~8x slower than
+    # the unfused jnp walk); "force" uses them everywhere (tests); False
+    # disables them.
+    fused: object = "auto"
     # bilinear fetch table in bfloat16: faster row-gathers (the hottest op in
     # a path bounce) at <=0.4% material quantization on the fetch path only
     # (texture.pack_quads); the API texture and gradient stay float32

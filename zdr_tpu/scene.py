@@ -131,9 +131,10 @@ class Scene:
         # flush (2x fewer scatter updates; ~0.3% relative gradient noise on
         # top of the estimator's own). Set False for bit-exact splats.
         self.packed_splat = True
-        # fused Pallas bounce megakernels for the path integrator (auto
-        # falls back when the scene is out of scope; pallas_bounce.py)
-        self.fused = True
+        # fused Pallas bounce megakernels for the path/direct integrators:
+        # "auto" (default) = on real accelerators when the scene is in
+        # scope; "force" = everywhere (CPU interpret too); False = off
+        self.fused = "auto"
         # bf16 texture-fetch table (faster gathers, <=0.4% fetch quantization)
         self.texture_bf16 = False
         self.emissions = emissions  # user-visible record (render.py:120)
@@ -227,7 +228,7 @@ class Scene:
             rr_depth=int(self.rr_depth),
             bilinear=bool(self.bilinear),
             packed_splat=bool(self.packed_splat),
-            fused=bool(self.fused),
+            fused=self.fused,
             texture_bf16=bool(self.texture_bf16),
             it_count=int(it_count),
         )
