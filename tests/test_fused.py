@@ -68,33 +68,43 @@ class TestFusedBackward:
 
 
 class TestEligibility:
-    def test_env_scene_falls_back(self):
+    def test_env_scene_is_eligible(self):
+        # round-3: envmaps run fused (the reference's flagship example.py
+        # workflow); the glue does the alias draws + equirect fetches
         s = Scene([(make_uv_sphere(0.5), None, None)], integrator="path")
         s.fused = "force"
         s.add_envmap(make_test_envmap())
-        assert not fused_eligible(s._data, s._config((8, 8), 1))
-        img = s.render(MAT, res=(8, 8), spp=1, seed=0)  # still renders
+        assert fused_eligible(s._data, s._config((8, 8), 1))
+        img = s.render(MAT, res=(8, 8), spp=1, seed=0)
         assert bool(jnp.isfinite(img).all())
 
-    def test_point_light_clears_meta(self):
+    def test_point_light_keeps_meta(self):
         s = _cbox()
         assert s._data.fused_meta is not None
         s.add_point_light((0.0, 1.0, 0.0), 5.0)
-        assert s._data.fused_meta is None
+        assert s._data.fused_meta is not None
+        assert s._data.fused_meta.n_point == 1
 
-    def test_no_lights_means_no_meta(self):
+    def test_no_lights_gate(self):
+        # a scene with no lights of any kind keeps a meta (it is in kernel
+        # scope) but the fused path declines it (nothing to sample)
         s = Scene([(make_uv_sphere(0.5), None, None)], integrator="path")
-        assert s._data.fused_meta is None
+        s.fused = "force"
+        assert not fused_eligible(s._data, s._config((8, 8), 1))
 
     def test_cpu_auto_mode_falls_back(self):
         s = _cbox()
         s.fused = "auto"
         assert not fused_eligible(s._data, s._config((8, 8), 1))
 
-    def test_sampler_gate(self):
+    def test_samplers_eligible(self):
+        # round-3: the table samplers draw in the glue, so they are fused-
+        # capable; only unknown kinds fall back
         s = _cbox()
         s.sampler = "pmj02bn"
-        assert not fused_eligible(s._data, s._config((8, 8), 1))
+        assert fused_eligible(s._data, s._config((8, 8), 1))
+        s.sampler = "corrmj"
+        assert fused_eligible(s._data, s._config((8, 8), 1))
 
 
 class TestUpdateLights:
@@ -180,3 +190,82 @@ class TestFusedDirect:
         assert not direct_fused_eligible(s._data, s._config((8, 8), 1))
         img = s.render(MAT, res=(8, 8), spp=1, seed=0)
         assert bool(jnp.isfinite(img).all())
+
+
+class TestFusedScopeRound3:
+    """Round-3 widened fused envelope: envmaps, point lights and the table
+    samplers (pmj02bn / corrmj) all run through the glue-based pipeline and
+    must match the unfused walk (forward and PRB gradients)."""
+
+    def _scene(self, integrator, sampler, env=False, point=False, light=True):
+        models = [(make_cornell_box(), None, None)]
+        if light:
+            models.append((make_cornell_light(), None, 15.0))
+        s = Scene(models, integrator=integrator, sampler=sampler)
+        s.camera = Camera(
+            fov=0.87,
+            origin=float3(-0.2, 2.6, -0.5),
+            target=float3(-0.2, 2.6, -5.0),
+        )
+        if env:
+            s.add_envmap(make_test_envmap(16, 32))
+        if point:
+            s.add_point_light((0.0, 2.5, -2.0), (2.0, 1.5, 1.0))
+        s.fused = "force"
+        return s
+
+    @pytest.mark.parametrize(
+        "integrator,sampler,env,point",
+        [
+            ("path", "lcg", True, False),
+            ("path", "pmj02bn", False, False),
+            ("path", "pmj02bn", True, True),
+            ("path", "corrmj", True, False),
+            ("path", "lcg", False, True),
+            ("direct", "lcg", True, False),
+            ("direct", "pmj02bn", True, False),
+        ],
+    )
+    def test_forward_matches_unfused(self, integrator, sampler, env, point):
+        s = self._scene(integrator, sampler, env=env, point=point)
+        i_f = np.asarray(s.render(MAT, res=(20, 20), spp=2, seed=3))
+        s.fused = False
+        i_u = np.asarray(s.render(MAT, res=(20, 20), spp=2, seed=3))
+        np.testing.assert_allclose(i_f, i_u, atol=2e-3)
+        assert np.abs(i_f - i_u).mean() < 1e-4
+
+    @pytest.mark.parametrize(
+        "integrator,sampler,env,point",
+        [
+            ("path", "lcg", True, False),
+            ("path", "pmj02bn", True, False),
+            ("direct", "lcg", True, True),
+        ],
+    )
+    def test_grad_matches_unfused(self, integrator, sampler, env, point):
+        s = self._scene(integrator, sampler, env=env, point=point)
+
+        def loss(m):
+            return jnp.sum(s.render(m, res=(16, 16), spp=2, seed=0)[..., :3])
+
+        g_f = np.asarray(jax.grad(loss)(MAT))
+        s.fused = False
+        g_u = np.asarray(jax.grad(loss)(MAT))
+        scale = np.abs(g_u).max()
+        assert scale > 0
+        assert np.abs(g_f - g_u).max() <= 5e-3 * scale
+
+    def test_env_only_scene(self):
+        # the reference example.py workflow: object + envmap, no mesh light
+        s = Scene(
+            [(make_uv_sphere(0.5), None, None)],
+            integrator="path",
+            sampler="pmj02bn",
+        )
+        s.add_envmap(make_test_envmap(16, 32))
+        s.fused = "force"
+        assert fused_eligible(s._data, s._config((16, 16), 2))
+        i_f = np.asarray(s.render(MAT, res=(16, 16), spp=2, seed=1))
+        s.fused = False
+        i_u = np.asarray(s.render(MAT, res=(16, 16), spp=2, seed=1))
+        np.testing.assert_allclose(i_f, i_u, atol=2e-3)

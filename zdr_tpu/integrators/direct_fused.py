@@ -5,11 +5,13 @@ is glue-bound, not trace-bound: the unfused direct pipeline pays the
 (N, 3)-relayout tax at every XLA op. Direct lighting is exactly ONE fused
 path bounce plus one extra trace, so it reuses pallas_bounce verbatim:
 
-    kernel1(primary trace+interact) -> texture gather -> kernel2
+    kernel1(primary trace+interact) -> glue (material gather, draws, NEE
+      selection incl. envmap/point lights) -> kernel2
       (NEE + shadow + GGX + bounce sample) = emitter display + NEE term
     kernel1(bounce ray, pdf_prev = bounce pdf) = the MIS-weighted emitter
       lookup of the BSDF branch (k1's emitter-hit MIS is the same balanced
-      heuristic the direct estimator applies)
+      heuristic the direct estimator applies); envmap misses of the bounce
+      ray get the same MIS-weighted env radiance in the glue
     radiance = k2.radiance + k2.beta_next * k1b.add_emit
 
 The backward feeds kernel2's PRB gradient taps with le_rem = the sample's
@@ -25,7 +27,8 @@ ray origin (path semantics). Both are tolerance-level; tests compare at
 2e-3.
 
 Scope gates mirror path_fused plus use_mis=True (the bounce branch always
-runs in kernel2).
+runs in kernel2). Draw parity with the unfused direct estimator: 7 draws
+per sample (NEE 4 + BSDF 3), no Russian-roulette draw.
 """
 
 from __future__ import annotations
@@ -34,7 +37,15 @@ import jax
 import jax.numpy as jnp
 
 from ..scenedata import SceneData
+from ..samplers.hashes import lcg_to_unit_float
 from ..texture import cm_to_texture, pack_quads, segment_scatter_add4
+from .fused_glue import (
+    bounce_draws,
+    build_glue_tables,
+    env_miss_add_planes,
+    sample_light_planes,
+    start_sample_planes,
+)
 from .pallas_bounce import (
     LANES,
     build_fused_const,
@@ -44,7 +55,7 @@ from .pallas_bounce import (
     planes_rows,
     read_quads_planes,
 )
-from .path_fused import _interpret, _start_sample_planes, fused_eligible
+from .path_fused import _interpret, fused_eligible
 from .path_persistent import SCATTER_BATCH
 from .wrapper import RADIANCE_CLAMP
 
@@ -62,64 +73,85 @@ def direct_fused_eligible(data: SceneData, cfg) -> bool:
 def _setup(data, material, cfg, coords):
     meta = data.fused_meta
     scene_pack, light_pack = build_fused_const(data, meta)
+    tables = build_glue_tables(data, meta, light_pack)
+    env_hw = (data.env.texture.shape[0], data.env.texture.shape[1])
     packed = pack_quads(material, getattr(cfg, "texture_bf16", False))
     n_pix = coords.shape[0]
     rows = planes_rows(n_pix)
     pxp = pad_to_planes(coords[:, 0], rows)
     pyp = pad_to_planes(coords[:, 1], rows)
     real = pad_to_planes(jnp.ones((n_pix,), jnp.int32), rows)
-    return meta, scene_pack, light_pack, packed, rows, pxp, pyp, real
+    return meta, scene_pack, tables, env_hw, packed, rows, pxp, pyp, real
 
 
 def _one_sample(data, material, camera, seed, cfg, setup, it, want_grad,
                 grad_extra=None):
     """Shared per-sample pipeline. Returns (radiance3, k2grad_outputs)."""
-    meta, scene_pack, light_pack, packed, rows, pxp, pyp, real = setup
+    meta, scene_pack, tables, env_hw, packed, rows, pxp, pyp, real = setup
     h, w = material.shape[0], material.shape[1]
     interp = _interpret()
     sidx = jnp.zeros((rows, LANES), jnp.int32) + it
-    state, o, d = _start_sample_planes(
-        pxp, pyp, camera, seed, sidx, cfg.res, cfg.use_tent_filter
+    smp, o, d = start_sample_planes(
+        cfg.sampler, pxp, pyp, camera, seed, sidx, cfg.spp, cfg.res,
+        cfg.use_tent_filter,
     )
     big = jnp.full((rows, LANES), 1e30, jnp.float32)
     k1 = fused_trace_interact(
         scene_pack, meta.num_tris, (*o, *d, big, real), interpret=interp
     )
     (px, py, pz, ux, uy, nsx, nsy, nsz, ngx, ngy, ngz,
-     shade, aer, aeg, aeb) = k1
+     shade, aer, aeg, aeb, miss_i) = k1
     mat_p = read_quads_planes(ux, uy, packed, h, w)
+    if meta.n_env > 0:
+        er, eg, eb = env_miss_add_planes(
+            meta, tables, env_hw, d, big, miss_i != 0
+        )
+        aer = aer + er
+        aeg = aeg + eg
+        aeb = aeb + eb
+    (nee, smp) = sample_light_planes(meta, tables, env_hw, (px, py, pz), smp)
+    (wi_l, l_dist, l_pdf, l_ev) = nee
+    draws, smp = bounce_draws(smp, want_rr=False)
     onesf = jnp.ones((rows, LANES), jnp.float32)
     zeros_i = jnp.zeros((rows, LANES), jnp.int32)
     ray_planes = (
         px, py, pz, nsx, nsy, nsz, ngx, ngy, ngz, *d, shade,
-        *mat_p, onesf, onesf, onesf, zeros_i, state, aer, aeg, aeb,
+        *mat_p, onesf, onesf, onesf, zeros_i, aer, aeg, aeb,
     )
+    nee_planes = (*wi_l, l_dist, l_pdf, *l_ev)
     # rr_depth=2 with depth plane 0 => no Russian roulette fires
     k2 = fused_shade(
-        scene_pack, light_pack, ray_planes, meta, 2, 16, h, w,
-        interpret=interp,
+        scene_pack, meta.num_tris, ray_planes, nee_planes, draws,
+        2, 16, h, w, interpret=interp,
     )
     (radr, radg, radb, bnr, bng, bnb, pdfb,
-     nox, noy, noz, ndx, ndy, ndz, alive_i, _state2) = k2
+     nox, noy, noz, ndx, ndy, ndz, alive_i) = k2
     k1b = fused_trace_interact(
         scene_pack, meta.num_tris,
         (nox, noy, noz, ndx, ndy, ndz, pdfb, alive_i),
         interpret=interp,
     )
-    rad = (
-        radr + bnr * k1b[12],
-        radg + bng * k1b[13],
-        radb + bnb * k1b[14],
-    )
+    (b_aer, b_aeg, b_aeb, b_miss) = (k1b[12], k1b[13], k1b[14], k1b[15])
+    if meta.n_env > 0:
+        er, eg, eb = env_miss_add_planes(
+            meta, tables, env_hw, (ndx, ndy, ndz), pdfb, b_miss != 0
+        )
+        b_aer = b_aer + er
+        b_aeg = b_aeg + eg
+        b_aeb = b_aeb + eb
+    rad = (radr + bnr * b_aer, radg + bng * b_aeg, radb + bnb * b_aeb)
     if not want_grad:
         return rad, None
     lgr, lgg, lgb = grad_extra
+    u_splat = lcg_to_unit_float(smp.salt())
     k2g = fused_shade(
-        scene_pack, light_pack, ray_planes, meta, 2, 16, h, w,
-        grad_planes=(real, rad[0], rad[1], rad[2], lgr, lgg, lgb, ux, uy),
+        scene_pack, meta.num_tris, ray_planes, nee_planes, draws,
+        2, 16, h, w,
+        grad_planes=(real, rad[0], rad[1], rad[2], lgr, lgg, lgb, ux, uy,
+                     u_splat),
         interpret=interp,
     )
-    return rad, k2g[15:]  # (le_rem3 (unused), g0..g3, ids)
+    return rad, k2g[14:]  # (le_rem3 (unused), g0..g3, ids)
 
 
 def render_direct_fused(
@@ -127,7 +159,7 @@ def render_direct_fused(
 ):
     """Fused direct forward: spp-averaged radiance -> (n_pix, 3)."""
     setup = _setup(data, material, cfg, coords)
-    rows = setup[4]
+    rows = setup[5]
     n_pix = coords.shape[0]
     count = cfg.window_count
     start = jnp.asarray(it_start, jnp.int32)
@@ -152,7 +184,7 @@ def render_direct_backward_fused(
 ):
     """Fused direct gradient walk -> d_material (H, W, 4)."""
     setup = _setup(data, material, cfg, coords)
-    rows = setup[4]
+    rows = setup[5]
     h, w = material.shape[0], material.shape[1]
     n_bins = h * w
     n_lanes = rows * LANES

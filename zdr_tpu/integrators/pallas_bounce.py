@@ -1,31 +1,34 @@
-"""Fused Pallas bounce megakernels for the path integrator (small scenes).
+"""Fused Pallas bounce megakernels for the path/direct integrators.
 
 The TPU answer to the reference's one-megakernel-per-frame architecture
 (/root/reference/integrator.py:8-30): instead of a chain of XLA ops with
 relayout/fusion barriers at every (N, 3) intermediate, one path bounce is
 
     kernel1 (trace_closest + surface_interact + emitter MIS)   [pallas]
-      -> quad-packed material gather                           [XLA gather]
-    kernel2 (NEE sample + shadow trace + GGX shade/sample +
-             Russian roulette; optional PRB gradient taps)     [pallas]
+      -> glue: quad-packed material gather, envmap miss MIS,
+         sampler draws, NEE light selection (mesh/point/env)   [XLA planes]
+    kernel2 (shadow trace + GGX shade/sample + Russian
+             roulette; optional PRB gradient taps)             [pallas]
 
 with every per-lane quantity living as (rows, 128) f32/i32/u32 *planes*
-(struct-of-arrays) in VMEM — never as an (N, 3) array whose minor axis pads
-to 128 lanes. The scene (triangle geometry, interpolation attributes, light
-table) is VMEM-resident per grid step as (T, 1) planes, swept with
-fori_loops exactly like accel/pallas_trace.py.
+(struct-of-arrays) — never as an (N, 3) array whose minor axis pads to 128
+lanes. The triangle scene is VMEM-resident per grid step as a column-packed
+(T_pad, 32) table, swept with fori_loops exactly like accel/pallas_trace.py.
+Everything *divergence-free but gather-heavy* (sampler tables, light tables,
+alias tables, the envmap texture) lives in the XLA glue between the kernels
+(integrators/fused_glue.py), which is what makes environment maps, point
+lights and the table-based samplers (pmj02bn / corrmj) fused-capable: the
+kernels only ever see per-lane planes.
 
 Scope (the wrapper falls back to the unfused walk otherwise):
-  * no environment map, no point lights (mesh area lights only)
-  * LCG sampler
   * dense scenes (T <= FUSED_MAX_TRIS)
-  * path integrator
+  * path or direct integrator
 
 Math parity: every formula is the same jnp expression as the unfused path
 (path.py / lights.py / microfacet.py / onb.py / texture.py), consuming the
-identical LCG stream, so fused and unfused renders agree to float tolerance
-(tests/test_fused.py); they are not bitwise equal because Mosaic schedules
-transcendentals differently than XLA.
+identical sampler stream, so fused and unfused renders agree to float
+tolerance (tests/test_fused.py); they are not bitwise equal because Mosaic
+schedules transcendentals differently than XLA.
 """
 
 from __future__ import annotations
@@ -53,14 +56,22 @@ _PI = math.pi
 
 class FusedMeta(NamedTuple):
     """Static light-structure metadata (python ints/tuples: part of the jit
-    cache key). Built by Scene from host-side emission data; update_lights
-    that changes WHICH instances are emissive rebuilds it (recompile)."""
+    cache key). Built by Scene from host-side emission data; update_lights /
+    add_envmap / add_point_light that change the light STRUCTURE rebuild it
+    (recompile); pure emission-value changes do not."""
 
     n_lights: int  # number of mesh light instances
     light_tri_ids: Tuple[int, ...]  # global tri ids of all light triangles
     light_offsets: Tuple[int, ...]  # per light instance: first index above
     light_tcs: Tuple[int, ...]  # per light instance: triangle count
     num_tris: int
+    n_env: int = 0  # 0 or 1 environment lights
+    n_point: int = 0  # point light count
+
+    @property
+    def n_total(self) -> int:
+        """Light-selection denominator (lights._n_lights parity)."""
+        return max(self.n_env + self.n_point + self.n_lights, 1)
 
 
 # ----------------------------------------------------------- vec3 helpers
@@ -102,31 +113,6 @@ def _vwhere(m, a, b):
         jnp.where(m, a[1], b[1]),
         jnp.where(m, a[2], b[2]),
     )
-
-
-# --------------------------------------------------------------- sampler
-
-
-def _lcg_step(s):
-    return s * U32(1664525) + U32(1013904223)
-
-
-def _lcg_float(s):
-    """hashes.lcg_to_unit_float: murmur3 finalize + top 24 bits."""
-    h = s ^ (s >> U32(16))
-    h = h * U32(0x7FEB352D)
-    h = h ^ (h >> U32(15))
-    h = h * U32(0x846CA68B)
-    h = h ^ (h >> U32(16))
-    # Mosaic has no uint32->f32 cast; the top-24-bit value fits int32
-    # exactly, so bitcast and convert from there
-    top = jax.lax.bitcast_convert_type(h >> U32(8), jnp.int32)
-    return top.astype(jnp.float32) * jnp.float32(1.0 / 0x01000000)
-
-
-def _draw1(s):
-    s = _lcg_step(s)
-    return _lcg_float(s), s
 
 
 # ------------------------------------------------------------------- GGX
@@ -269,9 +255,10 @@ def build_fused_const(data, meta: FusedMeta):
     em = data.emission[inst]  # (T, 3)
     emissive = jnp.any(em > 0.0, axis=-1).astype(jnp.float32)
     tc = g.inst_tri_count[inst].astype(jnp.float32)
-    n_lights = jnp.float32(max(meta.n_lights, 1))
+    # selection count n = env + point + mesh (lights._n_lights parity)
+    n_total = jnp.float32(meta.n_total)
     # denominator of sample_light_pdf (lights.py:158): n * tc * area
-    inv_pdf_const = n_lights * tc * area
+    inv_pdf_const = n_total * tc * area
 
     del emissive  # kernel derives the flag from the emission columns
     # ONE (T_pad, 32) column-packed scene table: cols 0-8 tri (p0/e1/e2),
@@ -292,7 +279,10 @@ def build_fused_const(data, meta: FusedMeta):
     t_pad = -(-t_n // 8) * 8
     scene_pack = jnp.pad(packed, ((0, t_pad - t_n), (0, 32 - packed.shape[1])))
 
-    # light-triangle table, in meta order
+    # light-triangle table, in meta order (gathered per-lane by the glue's
+    # NEE selection — no longer a kernel operand)
+    if len(meta.light_tri_ids) == 0:
+        return scene_pack, jnp.zeros((8, 16), jnp.float32)
     lids = jnp.asarray(meta.light_tri_ids, jnp.int32)
     lv0 = p0[lids]
     le1 = e1[lids]
@@ -302,7 +292,7 @@ def build_fused_const(data, meta: FusedMeta):
     l_ng = lc / jnp.maximum(jnp.linalg.norm(lc, axis=-1, keepdims=True), 1e-20)
     l_area = 0.5 * jnp.linalg.norm(lc, axis=-1)
     l_tc = g.inst_tri_count[inst[lids]].astype(jnp.float32)
-    l_inv_pdf = n_lights * l_tc * l_area  # lights.py:105-107 denominator
+    l_inv_pdf = n_total * l_tc * l_area  # lights.py:105-107 denominator
     lcols = jnp.concatenate(
         [lv0, le1, le2, lem, l_ng, l_inv_pdf[:, None]], axis=1
     ).astype(jnp.float32)  # (L, 16)
@@ -320,7 +310,7 @@ def _trace_interact_kernel(n_tris: int, refs):
     (ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, pdfp_r, act_r) = refs[1:9]
     outs = refs[9:]
     (px_o, py_o, pz_o, ux_o, uy_o, nsx_o, nsy_o, nsz_o, ngx_o, ngy_o, ngz_o,
-     shade_o, aer_o, aeg_o, aeb_o) = outs
+     shade_o, aer_o, aeg_o, aeb_o, miss_o) = outs
 
     o = (ox_r[:], oy_r[:], oz_r[:])
     d = (dx_r[:], dy_r[:], dz_r[:])
@@ -403,6 +393,7 @@ def _trace_interact_kernel(n_tris: int, refs):
 
     shade = active & ~miss & frontfacing & ~emissive
     shade_o[:] = shade.astype(jnp.int32)
+    miss_o[:] = (active & miss).astype(jnp.int32)
     px_o[:] = p[0]
     py_o[:] = p[1]
     pz_o[:] = p[2]
@@ -421,7 +412,6 @@ def _trace_interact_kernel(n_tris: int, refs):
 
 def _shade_kernel(
     n_tris: int,
-    meta: FusedMeta,
     rr_depth: int,
     max_depth: int,
     tex_h: int,
@@ -429,22 +419,30 @@ def _shade_kernel(
     want_grad: bool,
     refs,
 ):
+    """Shadow sweep + GGX shade/sample + RR (+ PRB gradient taps).
+
+    Light selection and every sampler draw happen in the XLA glue
+    (fused_glue.py) and arrive as planes: wi_l/l_dist/l_pdf/l_eval are the
+    already-selected NEE light sample (mesh, point or envmap — the kernel
+    is agnostic), u_* are this bounce's uniform draws."""
     scene_r = refs[0]  # (T_pad, 32), cols 0-8 = tri p0/e1/e2
-    light_r = refs[1]  # (L_pad, 16)
-    idx = 2
+    idx = 1
     (px_r, py_r, pz_r, nsx_r, nsy_r, nsz_r, ngx_r, ngy_r, ngz_r,
      dx_r, dy_r, dz_r, shade_r, m0_r, m1_r, m2_r, m3_r,
-     br_r, bg_r, bb_r, depth_r, st_r, aer_r, aeg_r, aeb_r) = refs[idx : idx + 25]
-    idx += 25
+     br_r, bg_r, bb_r, depth_r, aer_r, aeg_r, aeb_r) = refs[idx : idx + 24]
+    idx += 24
+    (lwx_r, lwy_r, lwz_r, ldist_r, lpdf_r, levr_r, levg_r, levb_r,
+     ulobe_r, ub0_r, ub1_r, urr_r) = refs[idx : idx + 12]
+    idx += 12
     if want_grad:
         (ingrad_r, lrr_r, lrg_r, lrb_r, lgr_r, lgg_r, lgb_r,
-         uvx_r, uvy_r) = refs[idx : idx + 9]
-        idx += 9
+         uvx_r, uvy_r, usplat_r) = refs[idx : idx + 10]
+        idx += 10
     outs = refs[idx:]
     (radr_o, radg_o, radb_o, bnr_o, bng_o, bnb_o, pdfb_o,
-     nox_o, noy_o, noz_o, ndx_o, ndy_o, ndz_o, alive_o, st_o) = outs[:15]
+     nox_o, noy_o, noz_o, ndx_o, ndy_o, ndz_o, alive_o) = outs[:14]
     if want_grad:
-        (lsr_o, lsg_o, lsb_o, g0_o, g1_o, g2_o, g3_o, ids_o) = outs[15:]
+        (lsr_o, lsg_o, lsb_o, g0_o, g1_o, g2_o, g3_o, ids_o) = outs[14:]
 
     p = (px_r[:], py_r[:], pz_r[:])
     ns = (nsx_r[:], nsy_r[:], nsz_r[:])
@@ -455,67 +453,17 @@ def _shade_kernel(
     rough = m3_r[:]
     beta = (br_r[:], bg_r[:], bb_r[:])
     depth = depth_r[:]
-    state = st_r[:]
     add_emit = (aer_r[:], aeg_r[:], aeb_r[:])
 
     wo = _vscale(d, -1.0)
     tangent, binormal = _make_onb(ns)
     wo_local = _to_local(tangent, binormal, ns, wo)
 
-    # ---- NEE draws (lights.py:64-71): u_sel, u_prim, u2
-    u_sel, state = _draw1(state)
-    u_prim, state = _draw1(state)
-    u2a, state = _draw1(state)
-    u2b, state = _draw1(state)
-
-    n_l = float(max(meta.n_lights, 1))
-    idx_l = jnp.clip((u_sel * n_l).astype(jnp.int32), 0, max(meta.n_lights - 1, 0))
-    off = jnp.zeros_like(idx_l)
-    tc = jnp.ones_like(idx_l)
-    for k in range(meta.n_lights):
-        m = idx_l == k
-        off = jnp.where(m, meta.light_offsets[k], off)
-        tc = jnp.where(m, meta.light_tcs[k], tc)
-    prim_local = jnp.clip(
-        (u_prim * tc.astype(jnp.float32)).astype(jnp.int32), 0,
-        jnp.maximum(tc - 1, 0),
-    )
-    l_sel = off + prim_local
-
-    L = len(meta.light_tri_ids)
-    zero = jnp.zeros_like(u_sel)
-    lt = [zero] * 16
-
-    def light_body(li, carry):
-        m = l_sel == li
-        return tuple(jnp.where(m, light_r[li, k], carry[k]) for k in range(16))
-
-    lt = jax.lax.fori_loop(0, L, light_body, tuple(lt))
-    lv0 = (lt[0], lt[1], lt[2])
-    le1 = (lt[3], lt[4], lt[5])
-    le2 = (lt[6], lt[7], lt[8])
-    lem = (lt[9], lt[10], lt[11])
-    l_ng = (lt[12], lt[13], lt[14])
-    l_inv_pdf = lt[15]
-
-    # sample_uniform_triangle (lights.py:45-50)
-    a_bc = jnp.where(u2a < u2b, 0.5 * u2a, u2a - 0.5 * u2b)
-    b_bc = jnp.where(u2a < u2b, u2b - 0.5 * u2a, 0.5 * u2b)
-    c_bc = 1.0 - a_bc - b_bc
-    # p_light = a*p0 + b*p1 + c*p2 = p0 + b*e1 + c*e2
-    p_light = _vadd(lv0, _vadd(_vscale(le1, b_bc), _vscale(le2, c_bc)))
-    delta = _vsub(p_light, p)
-    sqr_dist = _vdot(delta, delta)
-    wi_l = _vnormalize(delta)
-    cos_light = -_vdot(l_ng, wi_l)
-    l_pdf = sqr_dist / jnp.maximum(l_inv_pdf * cos_light, 1e-12)
-    l_eval_on = cos_light > 1e-4
-    l_eval = (
-        jnp.where(l_eval_on, lem[0], 0.0),
-        jnp.where(l_eval_on, lem[1], 0.0),
-        jnp.where(l_eval_on, lem[2], 0.0),
-    )
-    l_dist = 0.9999 * jnp.sqrt(sqr_dist)
+    # ---- NEE sample (selected by the glue)
+    wi_l = (lwx_r[:], lwy_r[:], lwz_r[:])
+    l_dist = ldist_r[:]
+    l_pdf = lpdf_r[:]
+    l_eval = (levr_r[:], levg_r[:], levb_r[:])
 
     # ---- shadow trace (trace_any, t_min=1e-4, t_max=l_dist)
     def occ_body(ti, occ):
@@ -546,10 +494,10 @@ def _shade_kernel(
     mis_nee = l_pdf / jnp.maximum(l_pdf + pdf_bsdf_at_light, 1e-4)
     nee_weight = mis_nee / jnp.maximum(l_pdf, 1e-4)
 
-    # ---- BSDF sample (path.py:143-150)
-    u_lobe, state = _draw1(state)
-    ub0, state = _draw1(state)
-    ub1, state = _draw1(state)
+    # ---- BSDF sample (path.py:143-150); draws from the glue
+    u_lobe = ulobe_r[:]
+    ub0 = ub0_r[:]
+    ub1 = ub1_r[:]
     wi_local = _ggx_sample(wo_local, rough, u_lobe, ub0, ub1)
     pdf_bounce = _ggx_sample_pdf(wo_local, wi_local, rough)
     wi = _to_world(tangent, binormal, ns, wi_local)
@@ -568,8 +516,8 @@ def _shade_kernel(
     else:
         b_nee, b_bounce = shade_fn(dif[0], dif[1], dif[2], rough)
 
-    # ---- RR draw (always consumed; path.py:153-155,179-187)
-    u_rr, state = _draw1(state)
+    # ---- RR decision from the glue's draw (path.py:153-155,179-187)
+    u_rr = urr_r[:]
     inv_pdf = 1.0 / jnp.maximum(pdf_bounce, 1e-9)
     beta_next = (
         beta[0] * b_bounce[0] * inv_pdf,
@@ -607,7 +555,6 @@ def _shade_kernel(
     ndy_o[:] = wi[1]
     ndz_o[:] = wi[2]
     alive_o[:] = path_alive.astype(jnp.int32)
-    st_o[:] = state
 
     if want_grad:
         in_grad = ingrad_r[:] != 0
@@ -654,9 +601,9 @@ def _shade_kernel(
         g1_o[:] = jnp.where(grad_on & ~jnp.isnan(g1), g1, 0.0)
         g2_o[:] = jnp.where(grad_on & ~jnp.isnan(g2), g2, 0.0)
         g3_o[:] = jnp.where(grad_on & ~jnp.isnan(g3), g3, 0.0)
-        # stochastic single-corner splat id with the side-channel salt draw
-        # (texture.stochastic_corner_ids + samplers.lcg.salt)
-        u_splat = _lcg_float(state ^ U32(0x5F356495))
+        # stochastic single-corner splat id; the glue supplies the salt draw
+        # (texture.stochastic_corner_ids + sampler.salt())
+        u_splat = usplat_r[:]
         x = uvx_r[:] * (tex_w - 1)
         y = (1.0 - uvy_r[:]) * (tex_h - 1)
         x0 = jnp.floor(x)
@@ -688,7 +635,7 @@ def _shade_kernel(
         ids_o[:] = jnp.where(grad_on, ids, tex_h * tex_w)
 
 
-FUSED_K2_FWD_OUTS = 15
+FUSED_K2_FWD_OUTS = 14
 
 
 # -------------------------------------------------------------- wrappers
@@ -708,7 +655,8 @@ def _plane_shape(r):
 
 def fused_trace_interact(scene_pack, n_tris, rays, interpret=False):
     """kernel 1. rays: 8 planes (ox,oy,oz,dx,dy,dz,pdf_prev f32, active i32).
-    Returns 15 planes: p(3), uv(2), ns(3), ng(3), shade(i32), add_emit(3)."""
+    Returns 16 planes: p(3), uv(2), ns(3), ng(3), shade(i32), add_emit(3),
+    miss(i32)."""
     r = rays[0].shape[0]
     grid = (r // BLOCK_ROWS,)
     f32 = jnp.float32
@@ -716,12 +664,13 @@ def fused_trace_interact(scene_pack, n_tris, rays, interpret=False):
         [jax.ShapeDtypeStruct(_plane_shape(r), f32)] * 11
         + [jax.ShapeDtypeStruct(_plane_shape(r), jnp.int32)]
         + [jax.ShapeDtypeStruct(_plane_shape(r), f32)] * 3
+        + [jax.ShapeDtypeStruct(_plane_shape(r), jnp.int32)]
     )
     outs = pl.pallas_call(
         lambda *refs: _trace_interact_kernel(n_tris, refs),
         grid=grid,
         in_specs=[_const_spec2(scene_pack.shape)] + [_ray_spec()] * 8,
-        out_specs=[_ray_spec()] * 15,
+        out_specs=[_ray_spec()] * 16,
         out_shape=out_shape,
         interpret=interpret,
     )(scene_pack, *rays)
@@ -730,9 +679,10 @@ def fused_trace_interact(scene_pack, n_tris, rays, interpret=False):
 
 def fused_shade(
     scene_pack,
-    light_pack,
+    n_tris: int,
     ray_planes,
-    meta: FusedMeta,
+    nee_planes,
+    draw_planes,
     rr_depth: int,
     max_depth: int,
     tex_h: int,
@@ -740,37 +690,34 @@ def fused_shade(
     grad_planes=None,
     interpret=False,
 ):
-    """kernel 2. ray_planes: 25 planes (p3, ns3, ng3, d3, shade i32, mat4,
-    beta3, depth i32, state u32, add_emit3). grad_planes (backward): 9 more
-    (in_grad i32, le_rem3, le_grad3, uv2). Returns 15 forward planes
-    (radiance_add3, beta_next3, pdf_bounce, next_o3, next_d3, alive i32,
-    state u32) + 8 backward planes (le_rem_next3, g0..g3, splat ids i32)."""
+    """kernel 2. ray_planes: 24 planes (p3, ns3, ng3, d3, shade i32, mat4,
+    beta3, depth i32, add_emit3). nee_planes: 8 (wi_l3, dist, pdf, eval3 —
+    the glue-selected light sample). draw_planes: 4 (u_lobe, u0, u1, u_rr).
+    grad_planes (backward): 10 more (in_grad i32, le_rem3, le_grad3, uv2,
+    u_splat). Returns 14 forward planes (radiance_add3, beta_next3,
+    pdf_bounce, next_o3, next_d3, alive i32) + 8 backward planes
+    (le_rem_next3, g0..g3, splat ids i32)."""
     r = ray_planes[0].shape[0]
     grid = (r // BLOCK_ROWS,)
     want_grad = grad_planes is not None
     f32 = jnp.float32
-    out_shape = (
-        [jax.ShapeDtypeStruct(_plane_shape(r), f32)] * 13
-        + [jax.ShapeDtypeStruct(_plane_shape(r), jnp.int32)]
-        + [jax.ShapeDtypeStruct(_plane_shape(r), jnp.uint32)]
-    )
+    out_shape = [jax.ShapeDtypeStruct(_plane_shape(r), f32)] * 13 + [
+        jax.ShapeDtypeStruct(_plane_shape(r), jnp.int32)
+    ]
     if want_grad:
         out_shape += [jax.ShapeDtypeStruct(_plane_shape(r), f32)] * 7 + [
             jax.ShapeDtypeStruct(_plane_shape(r), jnp.int32)
         ]
     n_out = len(out_shape)
-    inputs = [scene_pack, light_pack] + list(ray_planes)
-    in_specs = [
-        _const_spec2(scene_pack.shape),
-        _const_spec2(light_pack.shape),
-    ] + [_ray_spec()] * 25
+    inputs = [scene_pack] + list(ray_planes) + list(nee_planes) + list(draw_planes)
+    in_specs = [_const_spec2(scene_pack.shape)] + [_ray_spec()] * 36
     if want_grad:
         inputs += list(grad_planes)
-        in_specs += [_ray_spec()] * 9
+        in_specs += [_ray_spec()] * 10
     outs = pl.pallas_call(
         functools.partial(
-            _kernel2_entry, meta.num_tris, meta, rr_depth, max_depth, tex_h,
-            tex_w, want_grad,
+            _kernel2_entry, n_tris, rr_depth, max_depth, tex_h, tex_w,
+            want_grad,
         ),
         grid=grid,
         in_specs=in_specs,
@@ -781,8 +728,8 @@ def fused_shade(
     return outs
 
 
-def _kernel2_entry(t, meta, rr_depth, max_depth, tex_h, tex_w, want_grad, *refs):
-    _shade_kernel(t, meta, rr_depth, max_depth, tex_h, tex_w, want_grad, refs)
+def _kernel2_entry(t, rr_depth, max_depth, tex_h, tex_w, want_grad, *refs):
+    _shade_kernel(t, rr_depth, max_depth, tex_h, tex_w, want_grad, refs)
 
 
 def _const_spec2(shape):

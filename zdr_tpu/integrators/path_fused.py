@@ -3,10 +3,17 @@
 Same scheduling as path_persistent.py (every lane always has live work;
 terminated paths immediately restart on the pixel's next spp sample; the
 backward interleaves an Le-replay phase and a PRB gradient phase per
-sample), but every loop carry is a (rows, 128) plane and the whole bounce
-is two pallas_calls + one quad-packed texture gather (pallas_bounce.py).
-Consumes the identical LCG stream as the unfused walk, so results agree to
-float tolerance (not bitwise: Mosaic vs XLA transcendental scheduling).
+sample), but every loop carry is a (rows, 128) plane and one bounce is
+
+    kernel1 (trace+interact+emitter MIS)        [pallas_bounce.py]
+    glue: material gather, env miss MIS, sampler draws,
+          NEE light selection                   [fused_glue.py]
+    kernel2 (shadow trace + shade + RR + taps)  [pallas_bounce.py]
+
+Consumes the identical sampler stream as the unfused walk (any registered
+sampler: the draws run in the glue through the same sampler objects), so
+results agree to float tolerance (not bitwise: Mosaic vs XLA transcendental
+scheduling, and re-associated bilinear lerps in the env fetch).
 """
 
 from __future__ import annotations
@@ -14,9 +21,16 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..samplers.hashes import U32, lcg_step, lcg_to_unit_float, xxhash32_4
 from ..scenedata import SceneData
+from ..samplers.hashes import lcg_to_unit_float
 from ..texture import cm_to_texture, pack_quads, segment_scatter_add4
+from .fused_glue import (
+    bounce_draws,
+    build_glue_tables,
+    env_miss_add_planes,
+    sample_light_planes,
+    start_sample_planes,
+)
 from .pallas_bounce import (
     LANES,
     build_fused_const,
@@ -29,6 +43,8 @@ from .pallas_bounce import (
 from .path import _depths
 from .path_persistent import SCATTER_BATCH
 from .wrapper import RADIANCE_CLAMP
+
+FUSED_SAMPLERS = ("lcg", "pmj02bn", "corrmj")
 
 
 def _interpret() -> bool:
@@ -43,81 +59,25 @@ def fused_eligible(data: SceneData, cfg) -> bool:
         on = jax.default_backend() != "cpu"
     else:
         on = mode == "force"
+    meta = data.fused_meta
     return (
         on
         and cfg.integrator == "path"
         and cfg.persistent
         and cfg.stochastic_splat
-        and cfg.sampler == "lcg"
+        and cfg.sampler in FUSED_SAMPLERS
         and cfg.lanes_per_pixel <= 1
-        and data.fused_meta is not None
-        and not data.has_env
-        and data.fused_meta.n_lights >= 1
-        and data.fused_meta.num_tris <= FUSED_MAX_TRIS
+        and meta is not None
+        and meta.num_tris <= FUSED_MAX_TRIS
+        and (meta.n_lights + meta.n_env + meta.n_point) >= 1
     )
-
-
-def _start_sample_planes(pxp, pyp, camera, seed, sample_idx, res, use_tent):
-    """Plane version of path_persistent._start_sample: fresh LCG state +
-    primary ray for (pixel, seed, spp-sample)."""
-    w, h = res
-    seed_u = jnp.asarray(seed).astype(jnp.uint32)
-    mixed = seed_u ^ (sample_idx.astype(jnp.uint32) * U32(987654347))
-    state = xxhash32_4(
-        pxp.astype(jnp.uint32), pyp.astype(jnp.uint32), mixed, U32(0x9E3779B9)
-    )
-    s1 = lcg_step(state)
-    u0 = lcg_to_unit_float(s1)
-    s2 = lcg_step(s1)
-    u1 = lcg_to_unit_float(s2)
-    state = s2
-    if use_tent:
-        # camera.tent_warp componentized
-        def tw(u):
-            lo = jnp.sqrt(2.0 * u) - 1.0
-            hi = 1.0 - jnp.sqrt(jnp.maximum(2.0 - 2.0 * u, 0.0))
-            return jnp.where(u < 0.5, lo, hi)
-
-        ox = tw(u0) + 0.5
-        oy = tw(u1) + 0.5
-    else:
-        ox, oy = u0, u1
-    px_ndc = 2.0 / w * (pxp.astype(jnp.float32) + ox) - 1.0
-    py_ndc = (2.0 / h * (pyp.astype(jnp.float32) + oy) - 1.0) * (h / w)
-
-    # camera.generate_ray componentized (camera pytree scalars broadcast)
-    def norm3(x, y, z):
-        inv = 1.0 / jnp.maximum(jnp.sqrt(x * x + y * y + z * z), 1e-20)
-        return x * inv, y * inv, z * inv
-
-    fx, fy, fz = norm3(
-        camera.target[0] - camera.origin[0],
-        camera.target[1] - camera.origin[1],
-        camera.target[2] - camera.origin[2],
-    )
-    ux_, uy_, uz_ = camera.up[0], camera.up[1], camera.up[2]
-    rx, ry, rz = norm3(
-        fy * uz_ - fz * uy_, fz * ux_ - fx * uz_, fx * uy_ - fy * ux_
-    )
-    upx = ry * fz - rz * fy
-    upy = rz * fx - rx * fz
-    upz = rx * fy - ry * fx
-    scale = jnp.tan(0.5 * camera.fov)
-    sx = px_ndc * scale
-    sy = py_ndc * scale
-    dx = sx * rx - sy * upx + fx
-    dy = sx * ry - sy * upy + fy
-    dz = sx * rz - sy * upz + fz
-    dx, dy, dz = norm3(dx, dy, dz)
-    ox3 = jnp.broadcast_to(camera.origin[0], dx.shape)
-    oy3 = jnp.broadcast_to(camera.origin[1], dx.shape)
-    oz3 = jnp.broadcast_to(camera.origin[2], dx.shape)
-    return state, (ox3, oy3, oz3), (dx, dy, dz)
 
 
 def _setup(data, material, cfg, coords, it_start):
     meta = data.fused_meta
     scene_pack, light_pack = build_fused_const(data, meta)
+    tables = build_glue_tables(data, meta, light_pack)
+    env_hw = (data.env.texture.shape[0], data.env.texture.shape[1])
     packed = pack_quads(material, getattr(cfg, "texture_bf16", False))
     n_pix = coords.shape[0]
     rows = planes_rows(n_pix)
@@ -128,15 +88,45 @@ def _setup(data, material, cfg, coords, it_start):
     real = pad_to_planes(jnp.ones((n_pix,), jnp.int32), rows) != 0
     start_idx = jnp.zeros((rows, LANES), jnp.int32) + win_start
     stop_idx = jnp.where(real, win_start + win_count, win_start)
-    return (meta, scene_pack, light_pack, packed, rows, pxp, pyp,
+    return (meta, scene_pack, tables, env_hw, packed, rows, pxp, pyp,
             start_idx, stop_idx)
+
+
+def _bounce(data, meta, scene_pack, tables, env_hw, packed, cfg, s, lane_live,
+            smp, h, w, interp, want_rr=True):
+    """One fused bounce: k1 -> glue -> draws. Returns everything kernel 2
+    needs plus the advanced sampler."""
+    k1 = fused_trace_interact(
+        scene_pack, meta.num_tris,
+        (*s["o"], *s["d"], s["pdf_prev"], lane_live.astype(jnp.int32)),
+        interpret=interp,
+    )
+    (px, py, pz, ux, uy, nsx, nsy, nsz, ngx, ngy, ngz,
+     shade, aer, aeg, aeb, miss_i) = k1
+    mat_p = read_quads_planes(ux, uy, packed, h, w)
+    if meta.n_env > 0:
+        er, eg, eb = env_miss_add_planes(
+            meta, tables, env_hw, s["d"], s["pdf_prev"], miss_i != 0
+        )
+        aer = aer + er
+        aeg = aeg + eg
+        aeb = aeb + eb
+    (nee, smp) = sample_light_planes(meta, tables, env_hw, (px, py, pz), smp)
+    (wi_l, l_dist, l_pdf, l_ev) = nee
+    draws, smp = bounce_draws(smp, want_rr)
+    ray_planes = (
+        px, py, pz, nsx, nsy, nsz, ngx, ngy, ngz, *s["d"], shade,
+        *mat_p, *s["beta"], s["depth"], aer, aeg, aeb,
+    )
+    nee_planes = (*wi_l, l_dist, l_pdf, *l_ev)
+    return ray_planes, nee_planes, draws, (ux, uy), smp
 
 
 def render_path_fused(
     data: SceneData, material, camera, seed, cfg, coords, it_start=0
 ):
     """Fused forward: spp-averaged radiance -> (n_pix, 3)."""
-    (meta, scene_pack, light_pack, packed, rows, pxp, pyp,
+    (meta, scene_pack, tables, env_hw, packed, rows, pxp, pyp,
      start_idx, stop_idx) = _setup(data, material, cfg, coords, it_start)
     n_pix = coords.shape[0]
     h, w = material.shape[0], material.shape[1]
@@ -144,8 +134,9 @@ def render_path_fused(
     win_count = cfg.window_count
     interp = _interpret()
 
-    state0, o0, d0 = _start_sample_planes(
-        pxp, pyp, camera, seed, start_idx, cfg.res, cfg.use_tent_filter
+    smp0, o0, d0 = start_sample_planes(
+        cfg.sampler, pxp, pyp, camera, seed, start_idx, cfg.spp, cfg.res,
+        cfg.use_tent_filter,
     )
     zeros = jnp.zeros((rows, LANES), jnp.float32)
     init = dict(
@@ -156,7 +147,7 @@ def render_path_fused(
         pdf_prev=zeros + 1e30,
         o=o0,
         d=d0,
-        state=state0,
+        smp=smp0,
         depth=jnp.zeros((rows, LANES), jnp.int32),
         it=jnp.zeros((), jnp.int32),
     )
@@ -167,22 +158,16 @@ def render_path_fused(
 
     def body(s):
         lane_live = s["sample_idx"] < stop_idx
-        k1 = fused_trace_interact(
-            scene_pack, meta.num_tris,
-            (*s["o"], *s["d"], s["pdf_prev"], lane_live.astype(jnp.int32)),
-            interpret=interp,
+        ray_planes, nee_planes, draws, _uv, smp = _bounce(
+            data, meta, scene_pack, tables, env_hw, packed, cfg, s,
+            lane_live, s["smp"], h, w, interp,
         )
-        (px, py, pz, ux, uy, nsx, nsy, nsz, ngx, ngy, ngz,
-         shade, aer, aeg, aeb) = k1
-        mat_p = read_quads_planes(ux, uy, packed, h, w)
         k2 = fused_shade(
-            scene_pack, light_pack,
-            (px, py, pz, nsx, nsy, nsz, ngx, ngy, ngz, *s["d"], shade,
-             *mat_p, *s["beta"], s["depth"], s["state"], aer, aeg, aeb),
-            meta, rr_d, md, h, w, interpret=interp,
+            scene_pack, meta.num_tris, ray_planes, nee_planes, draws,
+            rr_d, md, h, w, interpret=interp,
         )
         (radr, radg, radb, bnr, bng, bnb, pdfb,
-         nox, noy, noz, ndx, ndy, ndz, alive_i, state) = k2
+         nox, noy, noz, ndx, ndy, ndz, alive_i) = k2
         alive = alive_i != 0
         cur = (s["cur"][0] + radr, s["cur"][1] + radg, s["cur"][2] + radb)
 
@@ -196,8 +181,9 @@ def render_path_fused(
             for c in range(3)
         )
         sample_idx = s["sample_idx"] + terminated.astype(jnp.int32)
-        new_state, new_o, new_d = _start_sample_planes(
-            pxp, pyp, camera, seed, sample_idx, cfg.res, cfg.use_tent_filter
+        new_smp, new_o, new_d = start_sample_planes(
+            cfg.sampler, pxp, pyp, camera, seed, sample_idx, cfg.spp, cfg.res,
+            cfg.use_tent_filter,
         )
         restart = terminated & (sample_idx < stop_idx)
 
@@ -206,7 +192,7 @@ def render_path_fused(
 
         o = tuple(sel(new_o[c], (nox, noy, noz)[c], s["o"][c]) for c in range(3))
         d = tuple(sel(new_d[c], (ndx, ndy, ndz)[c], s["d"][c]) for c in range(3))
-        state = jnp.where(restart, new_state, state)
+        smp = jax.tree.map(lambda a, b: jnp.where(restart, a, b), new_smp, smp)
         cur = tuple(jnp.where(terminated, 0.0, cur[c]) for c in range(3))
         beta = tuple(
             jnp.where(terminated, 1.0, jnp.where(alive, (bnr, bng, bnb)[c], s["beta"][c]))
@@ -218,7 +204,7 @@ def render_path_fused(
         depth = jnp.where(terminated, 0, s["depth"] + 1)
         return dict(
             sample_idx=sample_idx, acc=acc, cur=cur, beta=beta,
-            pdf_prev=pdf_prev, o=o, d=d, state=state, depth=depth,
+            pdf_prev=pdf_prev, o=o, d=d, smp=smp, depth=depth,
             it=s["it"] + 1,
         )
 
@@ -237,7 +223,7 @@ def render_path_backward_fused(
     the same stream while kernel 2 emits the gradient taps and splat ids;
     the compacted/packed flush (texture.segment_scatter_add4) drains the
     (SB, 5, N) buffer."""
-    (meta, scene_pack, light_pack, packed, rows, pxp, pyp,
+    (meta, scene_pack, tables, env_hw, packed, rows, pxp, pyp,
      start_idx, stop_idx) = _setup(data, material, cfg, coords, it_start)
     n_pix = coords.shape[0]
     h, w = material.shape[0], material.shape[1]
@@ -251,8 +237,9 @@ def render_path_backward_fused(
     lgg = pad_to_planes(le_grad[:, 1], rows)
     lgb = pad_to_planes(le_grad[:, 2], rows)
 
-    state0, o0, d0 = _start_sample_planes(
-        pxp, pyp, camera, seed, start_idx, cfg.res, cfg.use_tent_filter
+    smp0, o0, d0 = start_sample_planes(
+        cfg.sampler, pxp, pyp, camera, seed, start_idx, cfg.spp, cfg.res,
+        cfg.use_tent_filter,
     )
     zeros = jnp.zeros((rows, LANES), jnp.float32)
     n_lanes = rows * LANES
@@ -271,7 +258,7 @@ def render_path_backward_fused(
         d=d0,
         beta=(zeros + 1.0, zeros + 1.0, zeros + 1.0),
         pdf_prev=zeros + 1e30,
-        state=state0,
+        smp=smp0,
         cur=(zeros, zeros, zeros),
         le_rem=(zeros, zeros, zeros),
         gok=jnp.ones((rows, LANES), bool),
@@ -295,31 +282,27 @@ def render_path_backward_fused(
     def body(s):
         lane_live = s["sample_idx"] < stop_idx
         in_grad = lane_live & (s["phase"] == 1)
-        k1 = fused_trace_interact(
-            scene_pack, meta.num_tris,
-            (*s["o"], *s["d"], s["pdf_prev"], lane_live.astype(jnp.int32)),
-            interpret=interp,
+        (ray_planes, nee_planes, draws, (ux, uy), smp) = _bounce(
+            data, meta, scene_pack, tables, env_hw, packed, cfg, s,
+            lane_live, s["smp"], h, w, interp,
         )
-        (px, py, pz, ux, uy, nsx, nsy, nsz, ngx, ngy, ngz,
-         shade, aer, aeg, aeb) = k1
-        mat_p = read_quads_planes(ux, uy, packed, h, w)
         # gok gates only the cotangents: zeroed le_grad kills them while the
         # le_rem bookkeeping still runs (path_persistent.py parity)
         glr = jnp.where(s["gok"], lgr, 0.0)
         glg = jnp.where(s["gok"], lgg, 0.0)
         glb = jnp.where(s["gok"], lgb, 0.0)
+        u_splat = lcg_to_unit_float(smp.salt())
         k2 = fused_shade(
-            scene_pack, light_pack,
-            (px, py, pz, nsx, nsy, nsz, ngx, ngy, ngz, *s["d"], shade,
-             *mat_p, *s["beta"], s["depth"], s["state"], aer, aeg, aeb),
-            meta, rr_d, md, h, w,
+            scene_pack, meta.num_tris, ray_planes, nee_planes, draws,
+            rr_d, md, h, w,
             grad_planes=(
-                in_grad.astype(jnp.int32), *s["le_rem"], glr, glg, glb, ux, uy
+                in_grad.astype(jnp.int32), *s["le_rem"], glr, glg, glb,
+                ux, uy, u_splat,
             ),
             interpret=interp,
         )
         (radr, radg, radb, bnr, bng, bnb, pdfb,
-         nox, noy, noz, ndx, ndy, ndz, alive_i, state,
+         nox, noy, noz, ndx, ndy, ndz, alive_i,
          lerx, lery, lerz, g0, g1, g2, g3, ids) = k2
         alive = alive_i != 0
 
@@ -355,8 +338,9 @@ def render_path_backward_fused(
         sample_idx = s["sample_idx"] + end_grad.astype(jnp.int32)
         phase = jnp.where(end_le, 1, jnp.where(end_grad, 0, s["phase"]))
 
-        new_state, new_o, new_d = _start_sample_planes(
-            pxp, pyp, camera, seed, sample_idx, cfg.res, cfg.use_tent_filter
+        new_smp, new_o, new_d = start_sample_planes(
+            cfg.sampler, pxp, pyp, camera, seed, sample_idx, cfg.spp, cfg.res,
+            cfg.use_tent_filter,
         )
         restart = terminated & (sample_idx < stop_idx)
 
@@ -365,7 +349,7 @@ def render_path_backward_fused(
 
         o = tuple(sel(new_o[c], (nox, noy, noz)[c], s["o"][c]) for c in range(3))
         d = tuple(sel(new_d[c], (ndx, ndy, ndz)[c], s["d"][c]) for c in range(3))
-        state = jnp.where(restart, new_state, state)
+        smp = jax.tree.map(lambda a, b: jnp.where(restart, a, b), new_smp, smp)
         le_rem = tuple(
             jnp.where(end_le, jnp.where(le_ok, cur[c], 0.0), le_rem[c])
             for c in range(3)
@@ -382,7 +366,7 @@ def render_path_backward_fused(
         depth = jnp.where(terminated, 0, s["depth"] + 1)
         return dict(
             sample_idx=sample_idx, phase=phase, depth=depth, o=o, d=d,
-            beta=beta, pdf_prev=pdf_prev, state=state, cur=cur, le_rem=le_rem,
+            beta=beta, pdf_prev=pdf_prev, smp=smp, cur=cur, le_rem=le_rem,
             gok=gok, d_mat=d_mat, buf=buf, it=s["it"] + 1,
         )
 

@@ -16,18 +16,28 @@ from .hashes import ONE_MINUS_EPSILON
 from .lcg import LCGSampler, make_lcg_sampler
 
 
-def make_sampler(kind: str, pixel, seed, spp: int, sample_index):
+def make_sampler_xy(kind: str, px, py, seed, spp: int, sample_index):
+    """Shape-generic factory: px/py are int arrays of any shape ((N,) lanes
+    or (rows, 128) planes); all sampler state leaves get that shape."""
     if kind == "lcg":
-        return make_lcg_sampler(pixel, seed, spp, sample_index)
+        from .lcg import make_lcg_sampler_xy
+
+        return make_lcg_sampler_xy(px, py, seed, spp, sample_index)
     if kind == "pmj02bn":
-        from .pmj02bn import make_pmj02bn_sampler
+        from .pmj02bn import make_pmj02bn_sampler_xy
 
-        return make_pmj02bn_sampler(pixel, seed, spp, sample_index)
+        return make_pmj02bn_sampler_xy(px, py, seed, spp, sample_index)
     if kind == "corrmj":
-        from .corrmj import make_corrmj_sampler
+        from .corrmj import make_corrmj_sampler_xy
 
-        return make_corrmj_sampler(pixel, seed, spp, sample_index)
+        return make_corrmj_sampler_xy(px, py, seed, spp, sample_index)
     raise ValueError(f"unknown sampler kind: {kind!r}")
+
+
+def make_sampler(kind: str, pixel, seed, spp: int, sample_index):
+    return make_sampler_xy(
+        kind, pixel[..., 0], pixel[..., 1], seed, spp, sample_index
+    )
 
 
 __all__ = [

@@ -58,7 +58,8 @@ class CorrMJSampler(NamedTuple):
         u = jnp.clip(u, 0.0, ONE_MINUS_EPSILON)
         return u, self._replace(dimension=self.dimension + U32(1), state=state)
 
-    def next2(self) -> Tuple[jnp.ndarray, "CorrMJSampler"]:
+    def _next2_xy(self):
+        """2D draw as two separate component arrays (plane-layout friendly)."""
         ps = self.permutation_seed + self.dimension
         index = permutation_element(
             self.sample_index,
@@ -82,27 +83,38 @@ class CorrMJSampler(NamedTuple):
         resf = res.astype(jnp.float32)
         ux = (x.astype(jnp.float32) + (sy.astype(jnp.float32) + dx) / resf) / resf
         uy = (y.astype(jnp.float32) + (sx.astype(jnp.float32) + dy) / resf) / resf
-        u = jnp.stack([ux, uy], axis=-1)
-        u = jnp.clip(u, 0.0, ONE_MINUS_EPSILON)
-        return u, self._replace(dimension=self.dimension + U32(2), state=s2)
+        ux = jnp.clip(ux, 0.0, ONE_MINUS_EPSILON)
+        uy = jnp.clip(uy, 0.0, ONE_MINUS_EPSILON)
+        return (ux, uy), self._replace(dimension=self.dimension + U32(2), state=s2)
+
+    def next2(self) -> Tuple[jnp.ndarray, "CorrMJSampler"]:
+        (ux, uy), smp = self._next2_xy()
+        return jnp.stack([ux, uy], axis=-1), smp
 
 
-def make_corrmj_sampler(pixel, seed, spp: int, sample_index) -> CorrMJSampler:
-    n = pixel.shape[0]
-    spp_a = jnp.broadcast_to(u32(spp), (n,))
+def make_corrmj_sampler_xy(px, py, seed, spp: int, sample_index) -> CorrMJSampler:
+    """px/py: int arrays of any shape; seed/sample_index scalars or like px."""
+    shape = px.shape
+    spp_a = jnp.broadcast_to(u32(spp), shape)
     w = _pow2_mask(spp_a)
     res = jnp.sqrt(spp_a.astype(jnp.float32) + 0.4).astype(jnp.uint32)
     res = jnp.maximum(res, U32(1))
     resw = _pow2_mask(res)
-    seed_a = jnp.broadcast_to(u32(seed), (n,))
-    si = jnp.broadcast_to(u32(sample_index), (n,))
+    seed_a = jnp.broadcast_to(u32(seed), shape)
+    si = jnp.broadcast_to(u32(sample_index), shape)
     return CorrMJSampler(
         sample_index=si,
-        dimension=jnp.zeros((n,), jnp.uint32),
-        permutation_seed=xxhash32_4(pixel[..., 0], pixel[..., 1], seed_a, U32(0)),
-        state=xxhash32_4(pixel[..., 0], pixel[..., 1], seed_a, si),
+        dimension=jnp.zeros(shape, jnp.uint32),
+        permutation_seed=xxhash32_4(px, py, seed_a, U32(0)),
+        state=xxhash32_4(px, py, seed_a, si),
         spp=spp_a,
         w=w,
         res=res,
         resw=resw,
+    )
+
+
+def make_corrmj_sampler(pixel, seed, spp: int, sample_index) -> CorrMJSampler:
+    return make_corrmj_sampler_xy(
+        pixel[..., 0], pixel[..., 1], seed, spp, sample_index
     )

@@ -28,21 +28,28 @@ class LCGSampler(NamedTuple):
         correlate with the replayable main stream."""
         return self.state ^ U32(0x5F356495)
 
-    def next2(self) -> Tuple[jnp.ndarray, "LCGSampler"]:
+    def _next2_xy(self):
+        """2D draw as two separate component arrays (plane-layout friendly)."""
         s1 = lcg_step(self.state)
         s2 = lcg_step(s1)
-        u = jnp.stack([lcg_to_unit_float(s1), lcg_to_unit_float(s2)], axis=-1)
-        return u, LCGSampler(s2)
+        return (lcg_to_unit_float(s1), lcg_to_unit_float(s2)), LCGSampler(s2)
+
+    def next2(self) -> Tuple[jnp.ndarray, "LCGSampler"]:
+        (ux, uy), smp = self._next2_xy()
+        return jnp.stack([ux, uy], axis=-1), smp
+
+
+def make_lcg_sampler_xy(px, py, seed, spp: int, sample_index) -> LCGSampler:
+    """px/py: int arrays of any shape; seed/sample_index scalars or like px."""
+    mixed_seed = jnp.asarray(seed).astype(jnp.uint32) ^ (
+        jnp.asarray(sample_index).astype(jnp.uint32) * U32(987654347)
+    )
+    state = xxhash32_4(px, py, mixed_seed, jnp.uint32(0x9E3779B9))
+    return LCGSampler(jnp.broadcast_to(state, px.shape))
 
 
 def make_lcg_sampler(
     pixel: jnp.ndarray, seed, spp: int, sample_index
 ) -> LCGSampler:
     """pixel: (N, 2) int32; seed/sample_index: scalars or (N,)."""
-    mixed_seed = U32(jnp.asarray(seed).astype(jnp.uint32)) ^ (
-        jnp.asarray(sample_index).astype(jnp.uint32) * U32(987654347)
-    )
-    state = xxhash32_4(
-        pixel[..., 0], pixel[..., 1], mixed_seed, jnp.uint32(0x9E3779B9)
-    )
-    return LCGSampler(state)
+    return make_lcg_sampler_xy(pixel[..., 0], pixel[..., 1], seed, spp, sample_index)

@@ -13,8 +13,12 @@ is void-and-cluster — see tools/gen_sampler_tables.py. The reference's
 blue-noise index arithmetic (pmj02bn.py:23) mis-parenthesizes the texture
 stride; the correct pbrt layout is used here (SURVEY.md §2.9).
 
-All state is per-lane (N,) so the sampler threads through persistent-lane
-loops and restarts.
+All state is per-lane and shape-generic: (N,) for the flat unfused walks,
+(rows, 128) planes for the fused pipeline (which runs the draws as XLA glue
+between the Pallas kernels). The pixel coordinate is stored as two separate
+arrays (px, py) — an (N, 2) field would tile its minor axis to 128 lanes in
+TPU loop carries. Internally every table lives flat (1-D) so gathers work on
+arbitrarily shaped index arrays without minor-axis padding.
 """
 
 from __future__ import annotations
@@ -53,92 +57,102 @@ def _tables():
     return _TABLES
 
 
-def _blue_noise(dim: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
-    """Blue-noise value for dimension `dim` at pixel p (N,2)."""
+def _blue_noise(dim: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray) -> jnp.ndarray:
+    """Blue-noise value for dimension `dim` at pixel (px, py). Flat gather:
+    shape-generic (works on (N,) lanes and (rows, 128) planes alike)."""
     _, bn_np = _tables()
     n_tex, res, _ = bn_np.shape
-    bn = jnp.asarray(bn_np)
+    bn = jnp.asarray(bn_np.reshape(-1))
     tex = (dim % n_tex).astype(jnp.int32)
-    x = jnp.abs(p[..., 0]) % res
-    y = jnp.abs(p[..., 1]) % res
-    return bn[tex, y, x]
+    x = jnp.abs(px) % res
+    y = jnp.abs(py) % res
+    return bn[(tex * res + y) * res + x]
 
 
 class PMJ02BNSampler(NamedTuple):
-    pixel: jnp.ndarray  # (N, 2) int32
-    sample_index: jnp.ndarray  # (N,) uint32
-    dimension: jnp.ndarray  # (N,) uint32
-    seed: jnp.ndarray  # (N,) uint32
-    spp: jnp.ndarray  # (N,) uint32
-    w: jnp.ndarray  # (N,) uint32 next-pow2(spp)-1 mask
+    px: jnp.ndarray  # int32 pixel x
+    py: jnp.ndarray  # int32 pixel y
+    sample_index: jnp.ndarray  # uint32
+    dimension: jnp.ndarray  # uint32
+    seed: jnp.ndarray  # uint32
+    spp: jnp.ndarray  # uint32
+    w: jnp.ndarray  # uint32 next-pow2(spp)-1 mask
 
-    def _bn_pixel(self) -> jnp.ndarray:
+    def _bn_pixel(self):
         # xor seed so the per-pixel blue-noise offset changes with seed
-        return (self.pixel.astype(jnp.uint32) ^ self.seed[..., None]).astype(
-            jnp.int32
-        )
+        bx = (self.px.astype(jnp.uint32) ^ self.seed).astype(jnp.int32)
+        by = (self.py.astype(jnp.uint32) ^ self.seed).astype(jnp.int32)
+        return bx, by
 
     def salt(self) -> jnp.ndarray:
         """Per-lane, per-bounce uint32 side-channel (see LCGSampler.salt)."""
         return xxhash32_4(
-            self.pixel[..., 0] ^ U32(0x5F356495),
-            self.pixel[..., 1],
+            self.px ^ U32(0x5F356495),
+            self.py,
             self.dimension,
             self.seed ^ self.sample_index,
         )
 
     def next1(self) -> Tuple[jnp.ndarray, "PMJ02BNSampler"]:
-        h = xxhash32_4(
-            self.pixel[..., 0], self.pixel[..., 1], self.dimension, self.seed
-        )
+        h = xxhash32_4(self.px, self.py, self.dimension, self.seed)
         index = permutation_element(self.sample_index, self.spp, self.w, h)
-        delta = _blue_noise(self.dimension, self._bn_pixel())
+        bx, by = self._bn_pixel()
+        delta = _blue_noise(self.dimension, bx, by)
         u = (index.astype(jnp.float32) + delta) / self.spp.astype(jnp.float32)
         u = jnp.clip(u, 0.0, ONE_MINUS_EPSILON)
         return u, self._replace(dimension=self.dimension + U32(1))
 
-    def next2(self) -> Tuple[jnp.ndarray, "PMJ02BNSampler"]:
+    def _next2_xy(self):
+        """2D draw as two separate component arrays (plane-layout friendly)."""
         pmj_np, _ = _tables()
         n_sets, n_samples, _ = pmj_np.shape
-        pmj = jnp.asarray(pmj_np)
+        pmj_x = jnp.asarray(pmj_np[..., 0].reshape(-1))
+        pmj_y = jnp.asarray(pmj_np[..., 1].reshape(-1))
         instance = self.dimension // U32(2)
-        h = xxhash32_4(
-            self.pixel[..., 0], self.pixel[..., 1], self.dimension, self.seed
-        )
+        h = xxhash32_4(self.px, self.py, self.dimension, self.seed)
         permuted = permutation_element(self.sample_index, self.spp, self.w, h)
         index = jnp.where(instance >= n_sets, permuted, self.sample_index)
         index = (index % U32(n_samples)).astype(jnp.int32)
-        pt = pmj[(instance % U32(n_sets)).astype(jnp.int32), index]
-        bp = self._bn_pixel()
-        delta = jnp.stack(
-            [
-                _blue_noise(self.dimension, bp),
-                _blue_noise(self.dimension + U32(1), bp),
-            ],
-            axis=-1,
-        )
-        u = pt + delta
-        u = u - jnp.floor(u)
-        return u, self._replace(dimension=self.dimension + U32(2))
+        flat = (instance % U32(n_sets)).astype(jnp.int32) * n_samples + index
+        ptx = pmj_x[flat]
+        pty = pmj_y[flat]
+        bx, by = self._bn_pixel()
+        ux = ptx + _blue_noise(self.dimension, bx, by)
+        uy = pty + _blue_noise(self.dimension + U32(1), bx, by)
+        ux = ux - jnp.floor(ux)
+        uy = uy - jnp.floor(uy)
+        return (ux, uy), self._replace(dimension=self.dimension + U32(2))
+
+    def next2(self) -> Tuple[jnp.ndarray, "PMJ02BNSampler"]:
+        (ux, uy), smp = self._next2_xy()
+        return jnp.stack([ux, uy], axis=-1), smp
 
 
-def make_pmj02bn_sampler(pixel, seed, spp: int, sample_index) -> PMJ02BNSampler:
-    """pixel (N,2) int32; seed/sample_index scalars or (N,)."""
-    n = pixel.shape[0]
+def make_pmj02bn_sampler_xy(px, py, seed, spp: int, sample_index) -> PMJ02BNSampler:
+    """px/py: int arrays of any shape; seed/sample_index scalars or like px."""
+    shape = px.shape
     w = next_pow2_mask(int(spp)) if isinstance(spp, int) else None
-    spp_a = jnp.broadcast_to(u32(spp), (n,))
+    spp_a = jnp.broadcast_to(u32(spp), shape)
     if w is None:
         ww = spp_a - U32(1)
         for s in (1, 2, 4, 8, 16):
             ww = ww | (ww >> U32(s))
         w_a = ww
     else:
-        w_a = jnp.full((n,), w, jnp.uint32)
+        w_a = jnp.full(shape, w, jnp.uint32)
     return PMJ02BNSampler(
-        pixel=pixel,
-        sample_index=jnp.broadcast_to(u32(sample_index), (n,)),
-        dimension=jnp.zeros((n,), jnp.uint32),
-        seed=jnp.broadcast_to(u32(seed), (n,)),
+        px=px.astype(jnp.int32),
+        py=py.astype(jnp.int32),
+        sample_index=jnp.broadcast_to(u32(sample_index), shape),
+        dimension=jnp.zeros(shape, jnp.uint32),
+        seed=jnp.broadcast_to(u32(seed), shape),
         spp=spp_a,
         w=w_a,
+    )
+
+
+def make_pmj02bn_sampler(pixel, seed, spp: int, sample_index) -> PMJ02BNSampler:
+    """pixel (N,2) int32; seed/sample_index scalars or (N,)."""
+    return make_pmj02bn_sampler_xy(
+        pixel[..., 0], pixel[..., 1], seed, spp, sample_index
     )

@@ -39,14 +39,14 @@ from .scenedata import SceneData
 MAX_INSTANCES = 10000  # reference render.py:114-115
 
 
-def _build_fused_meta(geom, light_insts):
+def _build_fused_meta(geom, light_insts, n_env: int = 0, n_point: int = 0):
     """Static light structure for the fused Pallas bounce path
     (integrators/pallas_bounce.FusedMeta); None when the scene is out of
-    the fused kernels' scope (too many triangles, no mesh lights)."""
+    the fused kernels' scope (too many triangles)."""
     from .integrators.pallas_bounce import FUSED_MAX_TRIS, FusedMeta
 
     n_tris = int(geom.num_triangles)
-    if n_tris > FUSED_MAX_TRIS or not light_insts:
+    if n_tris > FUSED_MAX_TRIS:
         return None
     offs = np.asarray(geom.inst_tri_offset)
     cnts = np.asarray(geom.inst_tri_count)
@@ -63,6 +63,8 @@ def _build_fused_meta(geom, light_insts):
         light_offsets=tuple(offsets),
         light_tcs=tuple(tcs),
         num_tris=n_tris,
+        n_env=int(n_env),
+        n_point=int(n_point),
     )
 
 
@@ -143,7 +145,9 @@ class Scene:
 
     def update_lights(self, emissions) -> None:
         """Rewrite per-instance emission (light-stage switching,
-        render.py:130-148). Array-only update: never recompiles."""
+        render.py:130-148). Array-only update: only recompiles if WHICH
+        instances are emissive changes (the fused kernels' light structure
+        is static)."""
         n_inst = self._data.geom.num_instances
         assert len(emissions) == n_inst
         em = [_normalize_emission(e) for e in emissions]
@@ -151,7 +155,12 @@ class Scene:
         light_insts = [i for i, e in enumerate(em) if (e > 0).any()]
         self._data = dataclasses.replace(
             self._data,
-            fused_meta=_build_fused_meta(self._data.geom, light_insts),
+            fused_meta=_build_fused_meta(
+                self._data.geom,
+                light_insts,
+                n_env=1 if self._data.has_env else 0,
+                n_point=int(self._data.point_count),
+            ),
             emission=jnp.asarray(np.stack(em)),
             light_insts=jnp.asarray(
                 np.array(
@@ -178,12 +187,18 @@ class Scene:
             new_int = np.concatenate(
                 [np.asarray(self._data.point_intensity)[:count], inten]
             )
+        light_insts = [i for i, e in enumerate(self.emissions) if (e > 0).any()]
         self._data = dataclasses.replace(
             self._data,
             point_pos=jnp.asarray(new_pos),
             point_intensity=jnp.asarray(new_int),
             point_count=jnp.asarray(count + 1, jnp.int32),
-            fused_meta=None,  # fused bounce kernels are mesh-lights-only
+            fused_meta=_build_fused_meta(
+                self._data.geom,
+                light_insts,
+                n_env=1 if self._data.has_env else 0,
+                n_point=count + 1,
+            ),
         )
 
     def add_envmap(self, img, compensate_mis: bool = True) -> None:
@@ -200,11 +215,18 @@ class Scene:
         if img.ndim == 3 and img.shape[2] == 3:
             img = np.concatenate([img, np.ones_like(img[..., :1])], axis=-1)
         env = build_envmap(img, compensate_mis=compensate_mis)
+        light_insts = [i for i, e in enumerate(self.emissions) if (e > 0).any()]
         self._data = dataclasses.replace(
             self._data,
             env=env,
             env_count=jnp.asarray(1, jnp.int32),
             has_env=True,
+            fused_meta=_build_fused_meta(
+                self._data.geom,
+                light_insts,
+                n_env=1,
+                n_point=int(self._data.point_count),
+            ),
         )
 
     # ------------------------------------------------------------- render

@@ -45,6 +45,7 @@ class SceneData:
     has_env: bool = dataclasses.field(metadata=dict(static=True), default=False)
     # static light-structure metadata for the fused Pallas bounce kernels
     # (integrators/pallas_bounce.FusedMeta); None disables the fused path.
-    # Rebuilt by Scene.update_lights (host knows the emission structure);
-    # cleared by add_point_light (fused path is mesh-lights-only).
+    # Rebuilt by Scene.update_lights / add_envmap / add_point_light (the
+    # host knows the light structure; value-only emission changes keep the
+    # same meta and never recompile).
     fused_meta: object = dataclasses.field(metadata=dict(static=True), default=None)
