@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from zdr_tpu.accel import build_accel, trace_any, trace_closest
 from zdr_tpu.geometry.mesh import build_geometry
@@ -259,19 +260,46 @@ class TestStackless:
         a2 = np.asarray(trace_any(bvh, o, d, t_min=1e-4, t_max=2.5))
         np.testing.assert_array_equal(a1, a2)
 
-    def test_tiered_compaction_matches_plain(self):
+    @pytest.mark.parametrize("n_tiers", [2, 4])
+    def test_tiered_compaction_matches_plain(self, n_tiers):
         """Stream-compacted tiered traversal (sort-by-node + shrinking
         static widths) must be hit-for-hit identical to the plain
-        stackless loop (it reorders lanes, never changes math)."""
+        stackless loop (it reorders lanes, never changes math). n_tiers=2
+        is the in-render default (Accel.traversal='auto'); 4 the
+        standalone-tools variant."""
         from zdr_tpu.accel.trace import _bvh_stackless, _bvh_stackless_tiered
 
         geom = sphere_geom(n_lat=16, n_lon=24)
         a = build_accel(geom, method="bvh")
         o, d = random_rays(4096, key=11)
-        bt1, p1, u1, v1 = _bvh_stackless_tiered(a, o, d, 0.0, 1e30, True)
+        bt1, p1, u1, v1 = _bvh_stackless_tiered(
+            a, o, d, 0.0, 1e30, True, n_tiers=n_tiers
+        )
         bt2, p2, u2, v2 = _bvh_stackless(a, o, d, 0.0, 1e30, True)
         np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
         np.testing.assert_array_equal(np.asarray(bt1), np.asarray(bt2))
-        occ1 = _bvh_stackless_tiered(a, o, d, 1e-4, 2.5, False)
+        occ1 = _bvh_stackless_tiered(a, o, d, 1e-4, 2.5, False, n_tiers=n_tiers)
         occ2 = _bvh_stackless(a, o, d, 1e-4, 2.5, False)
         np.testing.assert_array_equal(np.asarray(occ1), np.asarray(occ2))
+
+    def test_traversal_dispatch_hit_for_hit(self):
+        """Accel.traversal (static field, replaces the round-2 mutable
+        module global — ADVICE r2) routes to identical results."""
+        import dataclasses
+
+        import zdr_tpu.accel.trace as trace_mod
+
+        geom = sphere_geom(n_lat=16, n_lon=24)
+        a = build_accel(geom, method="bvh")
+        o, d = random_rays(512, key=13)
+        h0 = trace_closest(dataclasses.replace(a, traversal="stackless"), o, d)
+        old = trace_mod.TIERED_MIN_RAYS
+        trace_mod.TIERED_MIN_RAYS = 1  # force the tiered-2 route
+        try:
+            h1 = trace_closest(dataclasses.replace(a, traversal="auto"), o, d)
+        finally:
+            trace_mod.TIERED_MIN_RAYS = old
+        h2 = trace_closest(dataclasses.replace(a, traversal="tiered4"), o, d)
+        for h in (h1, h2):
+            np.testing.assert_array_equal(np.asarray(h.prim), np.asarray(h0.prim))
+            np.testing.assert_allclose(np.asarray(h.t), np.asarray(h0.t), atol=1e-6)

@@ -97,3 +97,74 @@ def test_example_material_loader(tmp_path):
     assert mat.shape == (4, 4, 4)
     assert np.allclose(mat[..., :3], (127.5 / 255) ** 2.2, atol=0.01)
     assert np.allclose(mat[..., 3], 0.25, atol=0.01)
+
+
+def _spec_zip_preprocess(raw: bytes) -> bytes:
+    """Literal scalar transcription of OpenEXR ImfZip.cpp Zip::compress
+    preprocessing (reorder halves, then delta predictor), independent of
+    the vectorized implementation under test."""
+    n = len(raw)
+    t1, t2 = [], []
+    for i, b in enumerate(raw):
+        (t1 if i % 2 == 0 else t2).append(b)
+    buf = t1 + t2
+    out = [buf[0]]
+    p = buf[0]
+    for b in buf[1:]:
+        d = (b - p + 128 + 256) % 256
+        p = b
+        out.append(d)
+    return bytes(out)
+
+
+def _spec_zip_postprocess(data: bytes) -> bytes:
+    """Literal scalar transcription of Zip::uncompress postprocessing
+    (undo predictor, then interleave the halves back)."""
+    buf = list(data)
+    for i in range(1, len(buf)):
+        buf[i] = (buf[i - 1] + buf[i] - 128) % 256
+    half = (len(buf) + 1) // 2
+    t1, t2 = buf[:half], buf[half:]
+    out = []
+    for i in range(len(buf)):
+        out.append(t1[i // 2] if i % 2 == 0 else t2[i // 2])
+    return bytes(out)
+
+
+def test_zip_preprocess_matches_openexr_spec():
+    """The vectorized codec must match the byte transform from the OpenEXR
+    reference source (ImfZip.cpp) — not merely invert itself. Round 2 had
+    reorder/predict swapped (ADVICE.md r2, high): files decoded fine here
+    but were garbage for every standard reader."""
+    import zlib
+
+    from zdr_tpu.imageio_exr import _zip_predict_decode, _zip_predict_encode
+
+    rng = np.random.RandomState(7)
+    for n in (1, 2, 3, 64, 257, 4096):
+        raw = rng.randint(0, 256, size=n, dtype=np.uint8).tobytes()
+        # encoder output == spec transform, deflated
+        assert zlib.decompress(_zip_predict_encode(raw)) == _spec_zip_preprocess(raw)
+        # decoder inverts a spec-produced block
+        comp = zlib.compress(_spec_zip_preprocess(raw))
+        assert _zip_predict_decode(comp, n) == raw
+        # and the scalar spec postprocess agrees
+        assert _spec_zip_postprocess(_spec_zip_preprocess(raw)) == raw
+
+
+def test_load_exr_rejects_malformed(tmp_path):
+    from zdr_tpu.imageio_exr import load_exr, save_exr
+
+    p = str(tmp_path / "x.exr")
+    save_exr(p, np.random.rand(8, 8, 3).astype(np.float32))
+    blob = bytearray(open(p, "rb").read())
+    # corrupt dataWindow (negative extent) -> clear error, not a crash
+    idx = blob.find(b"dataWindow")
+    size_off = idx + len(b"dataWindow") + 1 + len(b"box2i") + 1 + 4
+    import struct
+
+    blob[size_off : size_off + 16] = struct.pack("<iiii", 0, 0, -5, -5)
+    bad = str(tmp_path / "bad.exr")
+    open(bad, "wb").write(bytes(blob))
+    with pytest.raises((ValueError, NotImplementedError)):
+        load_exr(bad)

@@ -226,3 +226,24 @@ class TestSamplersEndToEnd:
                 errs.append(((lo - ref) ** 2).mean())
             imgs[kind] = np.mean(errs)
         assert imgs["pmj02bn"] < imgs["lcg"], imgs
+
+
+def test_pmj_point_matches_table():
+    """The procedural Owen-scrambled Sobol' point (samplers/pmj02bn.py
+    _pmj_point — zero-gather draw path) must reproduce the generated table
+    exactly (same construction, same per-set seeds)."""
+    import numpy as np
+
+    from zdr_tpu.samplers.pmj02bn import _pmj_point, _tables
+
+    pmj_packed, _, n_sets, n_samples, _, _ = _tables()
+    rng = np.random.RandomState(3)
+    idx = rng.randint(0, n_samples, size=512).astype(np.uint32)
+    sets = rng.randint(0, n_sets, size=512).astype(np.int32)
+    x, y = _pmj_point(jnp.asarray(sets), jnp.asarray(idx))
+    packed = pmj_packed[sets.astype(np.int64) * n_samples + idx.astype(np.int64)]
+    tx = (packed >> 16).astype(np.float64) / 65536.0
+    ty = (packed & 0xFFFF).astype(np.float64) / 65536.0
+    # table is 16-bit-quantized for packing; procedural is full precision
+    assert np.abs(np.asarray(x, np.float64) - tx).max() < 1.0 / 65536.0
+    assert np.abs(np.asarray(y, np.float64) - ty).max() < 1.0 / 65536.0

@@ -2,8 +2,9 @@
 
 66k-triangle UV sphere, 262,144 primary rays: times the plain stackless
 traversal (default in render graphs) and the stream-compacted tiered
-variant (opt-in via trace.TIERED_ENABLED; 2.8-4.5x faster standalone but
-compile-prohibitive inside integrator graphs on the remote-compile path).
+variants (Accel.traversal: "stackless" | "auto" = 2-tier compacted cond |
+"tiered4" = 4-width switch — fastest standalone, compile-prohibitive inside
+integrator graphs on the remote-compile path).
 
 Usage: python -u tools/bench_bigmesh.py
 """
@@ -20,7 +21,6 @@ sys.path.insert(0, ".")
 def main():
     from zdr_tpu import Camera, Scene, float3
     from zdr_tpu.accel import trace_any, trace_closest
-    from zdr_tpu.accel import trace as trace_mod
     from zdr_tpu.geometry.procedural import make_uv_sphere
     from zdr_tpu.integrators.wrapper import _pixel_grid, _primary_rays
     from zdr_tpu.samplers import make_sampler
@@ -46,12 +46,11 @@ def main():
         dt = (time.perf_counter() - t0) / iters
         print(f"{name:>22s}: {dt*1e3:8.1f} ms  ({n/dt/1e6:5.2f} Mrays/s)", flush=True)
 
-    for tiered in (False, True):
-        trace_mod.TIERED_ENABLED = tiered
-        tag = "tiered" if tiered else "plain"
-        timeit(f"closest ({tag})", jax.jit(lambda o, d: trace_closest(data.accel, o, d).t), o, d)
-        timeit(f"any ({tag})", jax.jit(lambda o, d: trace_any(data.accel, o, d, t_min=1e-4, t_max=3.0)), o, d)
-    trace_mod.TIERED_ENABLED = False
+    import dataclasses
+    for kind in ("stackless", "auto", "tiered4"):
+        acc = dataclasses.replace(data.accel, traversal=kind)
+        timeit(f"closest ({kind})", jax.jit(lambda o, d, a=acc: trace_closest(a, o, d).t), o, d)
+        timeit(f"any ({kind})", jax.jit(lambda o, d, a=acc: trace_any(a, o, d, t_min=1e-4, t_max=3.0)), o, d)
 
 
 if __name__ == "__main__":

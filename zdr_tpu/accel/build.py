@@ -13,11 +13,16 @@ from .types import Accel
 # the whole VMEM-resident triangle table with zero gathers, and measured
 # (262k rays, packed (T_pad, 16) layout) it beats the stackless BVH across
 # its entire VMEM-feasible range — 18 ms at 960 tris vs ~420 ms traversal,
-# 208 ms at 25k tris vs >1 s. The cap is the ~512 B/triangle VMEM footprint
-# (Mosaic needs the dynamic scalar index on sublanes, so the 16-wide
-# component axis pads to 128 lanes); beyond it the escape-link BVH takes
-# over.
-AUTO_BVH_THRESHOLD = 20480
+# 208 ms at 25k tris vs >1 s. The cap is derived from the ~512 B/triangle
+# VMEM footprint (Mosaic needs the dynamic scalar index on sublanes, so the
+# 16-wide component axis pads to 128 lanes): 16k tris x 512 B = 8 MB,
+# leaving half of the 16 MB VMEM for the double-buffered ray blocks.
+# (Round-2 used 20480, past the verified-safe bound — ADVICE.md r2 medium.)
+AUTO_BVH_THRESHOLD = (8 << 20) // 512  # = 16384
+# On CPU there is no Pallas sweep: "auto" uses the O(rays x T) jnp brute
+# force, which is only sane for small scenes — beyond this the BVH's
+# log-depth traversal wins despite its gather-heavy inner loop.
+AUTO_BVH_THRESHOLD_CPU = 1024
 
 
 def build_accel(geom: Geometry, method: str = "auto", chunk: int = 0) -> Accel:
@@ -36,14 +41,15 @@ def build_accel(geom: Geometry, method: str = "auto", chunk: int = 0) -> Accel:
     T = tris.shape[0]
 
     if method == "auto":
-        if T > AUTO_BVH_THRESHOLD:
+        import jax
+
+        on_cpu = jax.default_backend() == "cpu"
+        if T > (AUTO_BVH_THRESHOLD_CPU if on_cpu else AUTO_BVH_THRESHOLD):
             method = "bvh"
         else:
             # dense sweep: pallas kernel on real accelerators (1.5x+ the jnp
             # brute force, measured); jnp on CPU (pallas interpret is slow)
-            import jax
-
-            method = "bruteforce" if jax.default_backend() == "cpu" else "pallas"
+            method = "bruteforce" if on_cpu else "pallas"
 
     if chunk <= 0:
         # Small chunks keep the (N_rays, chunk) intermediates fused in VMEM

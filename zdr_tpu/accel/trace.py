@@ -353,28 +353,30 @@ def _bvh_stackless(accel: Accel, o, d, t_min, t_max, want_closest: bool):
 
 
 TIERED_MIN_RAYS = 65536  # below this the compaction machinery isn't worth it
-# Opt-in: the tiered traversal executes ~2.8x faster than the plain
-# stackless loop on big meshes (BASELINE.md), but its lax.switch over four
-# per-width bodies inflates XLA compile time prohibitively when embedded in
-# integrator render graphs on the axon remote-compile path (minutes per
-# config; observed compile-helper kills). Standalone tracing workloads and
-# tools/bench_bigmesh.py flip this on.
-TIERED_ENABLED = False
 
 
-def _bvh_stackless_tiered(accel: Accel, o, d, t_min, t_max, want_closest: bool):
+def _bvh_stackless_tiered(accel: Accel, o, d, t_min, t_max, want_closest: bool,
+                          n_tiers: int = 4):
     """Stackless traversal with stream compaction over tiered ray queues.
 
     The lock-step loop's cost is (max node visits over all lanes) x (full
     wavefront width): retired rays keep burning VPU until the deepest lane
     finishes. Here, after every round of HOPS visits the lane state is
     re-sorted by current node id — retired lanes (node == M) compact to the
-    back, and the live prefix is processed at the smallest static width in
-    {N, N/2, N/4, N/8} that covers it (lax.switch over per-width bodies).
-    The node-id sort doubles as a ray-coherence sort: lanes visiting the
-    same subtree become neighbors, so their node/triangle row-gathers hit
-    the same table regions. Results are scattered back to the caller's ray
-    order through a carried original-index array at the end.
+    back, and the live prefix is processed at the smallest static width
+    tier that covers it. The node-id sort doubles as a ray-coherence sort:
+    lanes visiting the same subtree become neighbors, so their node/
+    triangle row-gathers hit the same table regions. Results are scattered
+    back to the caller's ray order through a carried original-index array
+    at the end.
+
+    n_tiers picks the compile-time/run-time tradeoff:
+      2 — widths {N, N/4} dispatched by ONE lax.cond: compiles nearly as
+          fast as the plain loop, captures most of the tail win; this is
+          what renders use (traversal="auto").
+      4 — widths {N, N/2, N/4, N/8} via lax.switch: ~15% faster standalone
+          but minutes of XLA compile inside render graphs (traversal=
+          "tiered4", tools/bench_bigmesh.py).
     """
     N0 = o.shape[0]
     m = accel.node_packed.shape[0]
@@ -394,7 +396,10 @@ def _bvh_stackless_tiered(accel: Accel, o, d, t_min, t_max, want_closest: bool):
     iv3 = [inv[:, c] for c in range(3)]
     tmn = padded(jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (N0,)), 0.0)
     tmx = padded(jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (N0,)), 0.0)
-    widths = [N, max(8, N // 2), max(8, N // 4), max(8, N // 8)]
+    if n_tiers == 2:
+        widths = [N, max(8, -(-(N // 4) // 8) * 8)]
+    else:
+        widths = [N, max(8, N // 2), max(8, N // 4), max(8, N // 8)]
 
     state = dict(
         node=padded(jnp.zeros((N0,), jnp.int32), m),  # padding retired
@@ -494,11 +499,18 @@ def _bvh_stackless_tiered(accel: Accel, o, d, t_min, t_max, want_closest: bool):
     def cond(s):
         return s["active"] > 0
 
-    def body(s):
-        branches = [
-            (lambda w: (lambda st: round_prefix(st, w)))(w) for w in widths
-        ]
-        return jax.lax.switch(tier_index(s["active"]), branches, s)
+    branches = [
+        (lambda w: (lambda st: round_prefix(st, w)))(w) for w in widths
+    ]
+
+    if len(widths) == 2:
+        def body(s):
+            return jax.lax.cond(
+                s["active"] <= widths[1], branches[1], branches[0], s
+            )
+    else:
+        def body(s):
+            return jax.lax.switch(tier_index(s["active"]), branches, s)
 
     out = jax.lax.while_loop(cond, body, state)
     # restore the caller's ray order
@@ -515,6 +527,23 @@ def _bvh_stackless_tiered(accel: Accel, o, d, t_min, t_max, want_closest: bool):
 # ------------------------------------------------------------------ public
 
 
+def _bvh_dispatch(accel: Accel, o, d, t_min, t_max, want_closest: bool):
+    """Pick the stackless traversal flavor from Accel.traversal (static)."""
+    kind = accel.traversal
+    n = o.shape[0]
+    if kind == "auto":
+        if n >= TIERED_MIN_RAYS:
+            return _bvh_stackless_tiered(
+                accel, o, d, t_min, t_max, want_closest, n_tiers=2
+            )
+        return _bvh_stackless(accel, o, d, t_min, t_max, want_closest)
+    if kind == "tiered4":
+        return _bvh_stackless_tiered(
+            accel, o, d, t_min, t_max, want_closest, n_tiers=4
+        )
+    return _bvh_stackless(accel, o, d, t_min, t_max, want_closest)
+
+
 def trace_closest(accel: Accel, o: jnp.ndarray, d: jnp.ndarray, t_min=0.0, t_max=1e30) -> Hit:
     """Closest-hit trace (reference: accel.trace_closest, direct.py:22).
 
@@ -526,12 +555,7 @@ def trace_closest(accel: Accel, o: jnp.ndarray, d: jnp.ndarray, t_min=0.0, t_max
     d = jax.lax.stop_gradient(d)
     if accel.method == "bvh":
         if accel.node_packed is not None:
-            trav = (
-                _bvh_stackless_tiered
-                if TIERED_ENABLED and o.shape[0] >= TIERED_MIN_RAYS
-                else _bvh_stackless
-            )
-            best_t, prim, u, v = trav(accel, o, d, t_min, t_max, True)
+            best_t, prim, u, v = _bvh_dispatch(accel, o, d, t_min, t_max, True)
         else:
             best_t, prim, u, v = _bvh_loop(accel, o, d, t_min, t_max, True)
     elif accel.method == "pallas":
@@ -561,12 +585,7 @@ def trace_any(accel: Accel, o: jnp.ndarray, d: jnp.ndarray, t_min=1e-4, t_max=1e
     t_max = jax.lax.stop_gradient(t_max)
     if accel.method == "bvh":
         if accel.node_packed is not None:
-            trav = (
-                _bvh_stackless_tiered
-                if TIERED_ENABLED and o.shape[0] >= TIERED_MIN_RAYS
-                else _bvh_stackless
-            )
-            return trav(accel, o, d, t_min, t_max, False)
+            return _bvh_dispatch(accel, o, d, t_min, t_max, False)
         return _bvh_loop(accel, o, d, t_min, t_max, False)
     if accel.method == "pallas":
         from .pallas_trace import trace_any_pallas

@@ -60,6 +60,14 @@ class Accel:
     node_packed: jnp.ndarray = None  # (M, 8) float32
     method: str = dataclasses.field(metadata=dict(static=True), default="bruteforce")
     chunk: int = dataclasses.field(metadata=dict(static=True), default=256)
+    # BVH traversal flavor (static, part of the jit key — replaces round-2's
+    # mutable module global, which jit-cached programs silently ignored):
+    #   "auto"      — 2-tier compacted loop for big ray batches, plain
+    #                 stackless otherwise (the in-render default)
+    #   "stackless" — plain escape-link loop
+    #   "tiered4"   — 4-width lax.switch compaction: fastest standalone, but
+    #                 its compile time is prohibitive inside render graphs
+    traversal: str = dataclasses.field(metadata=dict(static=True), default="auto")
 
     @property
     def num_triangles(self) -> int:

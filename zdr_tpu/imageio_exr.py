@@ -67,32 +67,39 @@ def _chlist(names: List[str], pixel_type: int) -> bytes:
 
 
 def _zip_predict_encode(raw: bytes) -> bytes:
-    """OpenEXR zip: delta-predict then split odd/even bytes, then deflate."""
-    a = np.frombuffer(raw, np.uint8).astype(np.int16)
-    d = np.empty_like(a)
-    d[0] = a[0]
-    # t[i] = raw[i] - raw[i-1] + 128 (mod 256)
-    d[1:] = (a[1:] - a[:-1] + 128 + 256) % 256
-    d = d.astype(np.uint8)
-    n = d.shape[0]
+    """OpenEXR zip preprocess (ImfZip.cpp Zip::compress): FIRST reorder the
+    bytes (even-indexed bytes to the front half, odd-indexed to the back),
+    THEN delta-predict over the reordered buffer, then deflate. (Round-2
+    had the two steps swapped — mutually-inverse with its own decoder, but
+    incompatible with every standard OpenEXR reader; ADVICE.md r2.)"""
+    a = np.frombuffer(raw, np.uint8)
+    n = a.shape[0]
     half = (n + 1) // 2
     inter = np.empty(n, np.uint8)
-    inter[:half] = d[0::2]
-    inter[half:] = d[1::2]
-    return zlib.compress(inter.tobytes())
+    inter[:half] = a[0::2]
+    inter[half:] = a[1::2]
+    t = inter.astype(np.int16)
+    d = np.empty_like(t)
+    d[0] = t[0]
+    # d[i] = inter[i] - inter[i-1] + 128 (mod 256)
+    d[1:] = (t[1:] - t[:-1] + 128 + 256) % 256
+    return zlib.compress(d.astype(np.uint8).tobytes())
 
 
 def _zip_predict_decode(comp: bytes, out_len: int) -> bytes:
-    inter = np.frombuffer(zlib.decompress(comp), np.uint8)
+    """Inverse (ImfZip.cpp Zip::uncompress): inflate, undo the delta
+    predictor (cumsum), then merge the two halves back (interleave)."""
+    d = np.frombuffer(zlib.decompress(comp), np.uint8)
+    a = d.astype(np.int16)
+    a = a.copy()
+    a[1:] -= 128
+    inter = (np.cumsum(a, dtype=np.int64) % 256).astype(np.uint8)
     n = inter.shape[0]
     half = (n + 1) // 2
-    d = np.empty(n, np.uint8)
-    d[0::2] = inter[:half]
-    d[1::2] = inter[half:]
-    a = d.astype(np.int16)
-    a[1:] -= 128
-    out = np.cumsum(a, dtype=np.int64) % 256
-    return out.astype(np.uint8)[:out_len].tobytes()
+    out = np.empty(n, np.uint8)
+    out[0::2] = inter[:half]
+    out[1::2] = inter[half:]
+    return out[:out_len].tobytes()
 
 
 def _rle_decode(comp: bytes, out_len: int) -> bytes:
@@ -232,8 +239,14 @@ def load_exr(path: str) -> np.ndarray:
     if comp not in _BLOCK_LINES:
         raise NotImplementedError(f"EXR compression {comp} not supported")
     x0, y0, x1, y1 = struct.unpack("<iiii", attrs["dataWindow"][1])
+    if "displayWindow" in attrs and attrs["displayWindow"][1] != attrs["dataWindow"][1]:
+        raise NotImplementedError(
+            "EXR with dataWindow != displayWindow not supported"
+        )
     w = x1 - x0 + 1
     h = y1 - y0 + 1
+    if not (0 < w <= 65536 and 0 < h <= 65536):
+        raise ValueError(f"EXR: malformed data window {w}x{h}")
     lines_per_block = _BLOCK_LINES[comp]
     n_blocks = (h + lines_per_block - 1) // lines_per_block
 
@@ -246,6 +259,8 @@ def load_exr(path: str) -> np.ndarray:
         pos += 8
         payload = buf[pos : pos + size]
         pos += size
+        if not (y0 <= by <= y1) or size < 0 or len(payload) != size:
+            raise ValueError("EXR: malformed scanline block header")
         ystart = by - y0
         n_lines = min(lines_per_block, h - ystart)
         raw_len = line_bytes * n_lines

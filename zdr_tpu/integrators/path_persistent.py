@@ -30,6 +30,18 @@ from .wrapper import RADIANCE_CLAMP
 SCATTER_BATCH = 4  # bounces of splat entries buffered per scatter flush
 
 
+
+def _sel_sampler(restart, new_smp, smp):
+    """Per-lane select over sampler pytrees. Leaves are either lane-shaped
+    or carry LEADING table axes (pmj02bn's (n_tex, *lanes) bn_cache), so
+    the mask broadcasts against the TRAILING dims."""
+    def sel(a, b):
+        r = restart.reshape((1,) * (a.ndim - restart.ndim) + restart.shape)
+        return jnp.where(r, a, b)
+
+    return jax.tree.map(sel, new_smp, smp)
+
+
 def _start_sample(coords, camera, seed, spp, sample_idx, res, use_tent, kind):
     """Fresh sampler + primary ray for (pixel, seed, spp, sample_idx)."""
     w, h = res
@@ -135,7 +147,7 @@ def render_path_persistent(
         cont = path_alive
         o = sel(new_o, jnp.where(cont[..., None], v.next_o, o))
         d = sel(new_d, jnp.where(cont[..., None], v.next_d, d))
-        smp = jax.tree.map(sel, new_smp, smp)
+        smp = _sel_sampler(restart, new_smp, smp)
         cur = jnp.where(terminated[..., None], 0.0, cur)
         beta = jnp.where(
             terminated[..., None], 1.0, jnp.where(cont[..., None], beta_next, beta)
@@ -365,7 +377,7 @@ def render_path_backward_persistent(
         cont = path_alive
         o = sel(new_o, jnp.where(cont[..., None], v.next_o, s["o"]))
         d = sel(new_d, jnp.where(cont[..., None], v.next_d, s["d"]))
-        smp = jax.tree.map(sel, new_smp, smp)
+        smp = _sel_sampler(restart, new_smp, smp)
         cur = jnp.where(terminated[..., None], 0.0, cur)
         le_rem = jnp.where(end_le[..., None], new_le, le_rem)
         gok = jnp.where(end_le, le_ok[..., 0], gok)

@@ -85,7 +85,7 @@ class Scene:
             area light.
         integrator: 'collocated' | 'direct' | 'path'.
         accel: 'auto' | 'bruteforce' | 'bvh'.
-        sampler: 'pmj02bn' | 'corrmj' | 'lcg'.
+        sampler: 'pmj02bn' (default, reference parity) | 'corrmj' | 'lcg'.
     """
 
     def __init__(
@@ -93,7 +93,7 @@ class Scene:
         models: Sequence[Tuple[Union[str, ObjMesh], Optional[np.ndarray], object]],
         integrator: str = "direct",
         accel: str = "auto",
-        sampler: str = "lcg",
+        sampler: str = "pmj02bn",
     ):
         if len(models) > MAX_INSTANCES:
             raise RuntimeError("exceeding maximum number of mesh instances")
