@@ -18,7 +18,11 @@ if "host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# ZDR_TPU_TESTS=1 keeps the real backend so TPU-marked tests (e.g.
+# tests/test_tpu_smoke.py, which compiles the fused kernels through Mosaic)
+# run on hardware; default CI forces the CPU backend.
+if os.environ.get("ZDR_TPU_TESTS") != "1":
+    jax.config.update("jax_platforms", "cpu")
 
 
 import pytest  # noqa: E402

@@ -7,7 +7,7 @@ import pytest
 
 from zdr_tpu import Camera, Scene, float3
 from zdr_tpu.geometry.procedural import make_cornell_box, make_cornell_light
-from zdr_tpu.parallel import make_mesh, render_sharded
+from zdr_tpu.parallel import make_mesh, render_batch, render_sharded
 
 
 @pytest.fixture(scope="module")
@@ -95,11 +95,118 @@ class TestShardedRender:
             type(scene).max_spp_per_call = old_chunk
             scene.packed_splat = True
 
+    def test_fused_sharded_matches_single_device(self, scene, mesh):
+        """fused='force' under shard_map (pallas interpret mode on the CPU
+        mesh): the fused Pallas bounce path must compose with the sharding
+        machinery — per-device fused walks + psum'd gradient == the
+        single-device fused render (VERDICT r2 item 6a)."""
+        scene.fused = "force"
+        scene.packed_splat = False  # exact splats: see gradient test above
+        mat = jnp.full((8, 8, 4), 0.5)
+        try:
+            sharded = render_sharded(scene, mat, res=(16, 16), spp=2, seed=0, mesh=mesh)
+            single = scene.render(mat, res=(16, 16), spp=2, seed=0)
+            np.testing.assert_allclose(
+                np.asarray(sharded), np.asarray(single), atol=1e-5
+            )
+
+            def loss_sharded(m):
+                img = render_sharded(scene, m, res=(16, 16), spp=2, seed=0, mesh=mesh)
+                return jnp.sum(img[..., :3])
+
+            def loss_single(m):
+                return jnp.sum(scene.render(m, res=(16, 16), spp=2, seed=0)[..., :3])
+
+            g8 = np.asarray(jax.grad(loss_sharded)(mat))
+            g1 = np.asarray(jax.grad(loss_single)(mat))
+            assert np.abs(g8).sum() > 0
+            np.testing.assert_allclose(g8, g1, rtol=1e-4, atol=1e-5)
+        finally:
+            scene.fused = "auto"
+            scene.packed_splat = True
+
     def test_indivisible_pixels_raises(self, scene):
         mesh3 = make_mesh(3)
         mat = jnp.full((8, 8, 4), 0.5)
         with pytest.raises(ValueError, match="not divisible"):
             render_sharded(scene, mat, res=(16, 17), spp=1, seed=0, mesh=mesh3)
+
+
+class TestBatchedViews:
+    """Leading camera/light-pattern batch axis over the mesh (BASELINE.json
+    config #5, the light-stage DCN story of SURVEY §5)."""
+
+    def _scene(self):
+        s = Scene(
+            [(make_cornell_box(), None, None), (make_cornell_light(), None, 15.0)],
+            integrator="path",
+        )
+        s.packed_splat = False
+        return s
+
+    def _views(self):
+        cams = [
+            Camera(fov=0.9, origin=float3(-0.2, 2.6, -0.5),
+                   target=float3(-0.2, 2.6, -5.0)),
+            Camera(fov=0.7, origin=float3(0.3, 2.0, -1.0),
+                   target=float3(0.0, 2.6, -5.0)),
+        ] * 4
+        # emission VALUE patterns (structure fixed: light stays a light)
+        patterns = [[None, 15.0 * (1.0 + 0.1 * b)] for b in range(8)]
+        return cams, patterns
+
+    def test_batched_matches_sequential(self, mesh):
+        scene = self._scene()
+        cams, patterns = self._views()
+        mat = jnp.full((16, 16, 4), 0.5)
+        batched = render_batch(
+            scene, mat, cams, patterns, res=(16, 16), spp=4, seed=3, mesh=mesh
+        )
+        assert batched.shape == (8, 16, 16, 4)
+        # sequential reference: same per-view seed derivation (seed + 7919*b)
+        for b in [0, 3, 7]:
+            scene.update_lights(patterns[b])
+            scene.camera = cams[b]
+            single = scene.render(mat, res=(16, 16), spp=4, seed=3 + 7919 * b)
+            np.testing.assert_allclose(
+                np.asarray(batched[b]), np.asarray(single), atol=1e-5,
+                err_msg=f"view {b}",
+            )
+
+    def test_batched_gradient_sums_views(self, mesh):
+        scene = self._scene()
+        cams, patterns = self._views()
+        mat = jnp.full((16, 16, 4), 0.5)
+
+        def loss_batched(m):
+            imgs = render_batch(
+                scene, m, cams, patterns, res=(16, 16), spp=2, seed=5, mesh=mesh
+            )
+            return jnp.sum(imgs[..., :3])
+
+        g_b = np.asarray(jax.grad(loss_batched)(mat))
+
+        g_seq = np.zeros_like(g_b)
+        for b in range(8):
+            scene.update_lights(patterns[b])
+            scene.camera = cams[b]
+
+            def loss_one(m):
+                img = scene.render(m, res=(16, 16), spp=2, seed=5 + 7919 * b)
+                return jnp.sum(img[..., :3])
+
+            g_seq += np.asarray(jax.grad(loss_one)(mat))
+        assert np.abs(g_b).sum() > 0
+        np.testing.assert_allclose(g_b, g_seq, rtol=1e-4, atol=1e-5)
+
+    def test_indivisible_batch_raises(self, mesh):
+        scene = self._scene()
+        cams, patterns = self._views()
+        with pytest.raises(ValueError, match="not divisible"):
+            render_batch(
+                scene, jnp.full((8, 8, 4), 0.5), cams[:3], patterns[:3],
+                res=(8, 8), spp=1, mesh=mesh,
+            )
 
 
 class TestGraftEntry:

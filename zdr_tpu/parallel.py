@@ -137,6 +137,182 @@ def build_render_sharded(cfg: RenderConfig, mesh: Mesh) -> Callable:
     return call
 
 
+@lru_cache(maxsize=None)
+def build_render_batched(cfg: RenderConfig, mesh: Mesh, n_local: int) -> Callable:
+    """Differentiable batched render: B (camera, emission) configurations
+    sharded over the device mesh, each device rendering full frames for its
+    batch slice (the light-stage/multi-view DCN story of SURVEY §5 —
+    BASELINE.json config #5).
+
+    (material, data, cameras, emissions, seed) -> (B, H, W, 4), where
+    cameras is a leading-axis-stacked Camera pytree and emissions is
+    (B, I, 3). Differentiable w.r.t. material: per-view gradients are
+    summed locally and psum'd across the mesh (the multi-device analog of
+    accumulating one gradient texture over sequential views).
+
+    The light STRUCTURE (which instances can emit) is fixed across the
+    batch — per-view emission values vary freely (update_lights value
+    semantics); turning a light structurally off for one view only is not
+    expressible here, match by keeping a small nonzero emission instead."""
+    estimator, backward = get_integrator(cfg.integrator)
+    w, h = cfg.res
+    import dataclasses
+
+    def fwd_impl(material, data, cameras, emissions, seed, it_start):
+        coords = _pixel_grid(cfg.res)
+
+        def body(cam_shard, em_shard, material, data, seed, it_start):
+            base = jax.lax.axis_index(AXIS) * n_local
+
+            def one(i):
+                cam = jax.tree.map(lambda x: x[i], cam_shard)
+                d = dataclasses.replace(data, emission=em_shard[i])
+                rgb = render_forward_rays(
+                    d, material, cam, seed + 7919 * (base + i), cfg,
+                    estimator, coords, it_start,
+                )
+                return rgb.reshape(h, w, 3)
+
+            return jax.lax.map(one, jnp.arange(n_local))
+
+        rgb = jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(AXIS), P(AXIS), P(), P(), P(), P()),
+            out_specs=P(AXIS),
+            check_vma=False,
+        )(cameras, emissions, material, data, seed, it_start)
+        alpha = jnp.ones(rgb.shape[:-1] + (1,), jnp.float32)
+        return jnp.concatenate([rgb, alpha], axis=-1)
+
+    def grad_impl(material, data, cameras, emissions, seed, d_images, it_start):
+        coords = _pixel_grid(cfg.res)
+        count = cfg.window_count
+        le = d_images[..., :3].reshape(-1, h * w, 3) / count
+        le = jnp.where(jnp.isnan(le), 0.0, le)
+
+        def body(cam_shard, em_shard, le_shard, material, data, seed, it_start):
+            base = jax.lax.axis_index(AXIS) * n_local
+
+            def one(i):
+                cam = jax.tree.map(lambda x: x[i], cam_shard)
+                d = dataclasses.replace(data, emission=em_shard[i])
+                return render_grad_rays(
+                    d, material, cam, seed + 7919 * (base + i), le_shard[i],
+                    cfg, estimator, backward, coords, it_start,
+                )
+
+            g = jax.lax.map(one, jnp.arange(n_local)).sum(axis=0)
+            return jax.lax.psum(g, AXIS)
+
+        return jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(AXIS), P(AXIS), P(AXIS), P(), P(), P(), P()),
+            out_specs=P(),
+            check_vma=False,
+        )(cameras, emissions, le, material, data, seed, it_start)
+
+    @jax.custom_vjp
+    def render(material, data, cameras, emissions, seed, it_start):
+        return fwd_impl(material, data, cameras, emissions, seed, it_start)
+
+    def fwd(material, data, cameras, emissions, seed, it_start):
+        return render(material, data, cameras, emissions, seed, it_start), (
+            material, data, cameras, emissions, seed, it_start,
+        )
+
+    def bwd(saved, g):
+        material, data, cameras, emissions, seed, it_start = saved
+        d_mat = grad_impl(
+            material, data, cameras, emissions, seed + 1, g, it_start
+        )
+        return (
+            d_mat,
+            _zero_cotangent(data),
+            _zero_cotangent(cameras),
+            _zero_cotangent(emissions),
+            _zero_cotangent(seed),
+            _zero_cotangent(it_start),
+        )
+
+    render.defvjp(fwd, bwd)
+    jitted = jax.jit(render)
+
+    def call(material, data, cameras, emissions, seed, it_start=0):
+        return jitted(
+            material, data, cameras, emissions, seed,
+            jnp.asarray(it_start, jnp.int32),
+        )
+
+    return call
+
+
+def render_batch(
+    scene,
+    material,
+    cameras,
+    emissions,
+    *,
+    res,
+    spp,
+    seed=0,
+    mesh: Optional[Mesh] = None,
+):
+    """Batched multi-view / multi-light render: one frame per (camera,
+    emission) pair, batch sharded across the device mesh. Returns
+    (B, H, W, 4); differentiable w.r.t. material (gradients summed over
+    views, matching sequential renders + gradient accumulation).
+
+    cameras: a Camera, or list of B Cameras. emissions: (B, I, 3)-like, or
+    a list of B `update_lights`-style per-instance emission lists. B must
+    be divisible by the mesh size."""
+    import numpy as np
+    from .scene import _normalize_emission
+
+    if mesh is None:
+        mesh = make_mesh()
+    n_dev = mesh.devices.size
+    if not isinstance(emissions, jnp.ndarray):
+        em = [
+            np.stack([_normalize_emission(e) for e in pattern])
+            for pattern in emissions
+        ]
+        emissions = jnp.asarray(np.stack(em))
+    b = emissions.shape[0]
+    if b % n_dev != 0:
+        raise ValueError(f"batch {b} not divisible by mesh size {n_dev}")
+    if not isinstance(cameras, (list, tuple)):
+        cameras = [cameras] * b
+    if len(cameras) != b:
+        raise ValueError(f"{len(cameras)} cameras for batch {b}")
+    cam_stack = jax.tree.map(
+        lambda *xs: jnp.stack([jnp.asarray(x, jnp.float32) for x in xs]),
+        *cameras,
+    )
+    material = jnp.asarray(material)
+    seed = jnp.asarray(seed, jnp.int32)
+    spp = int(spp)
+    chunk = scene.max_spp_per_call
+    n_local = b // n_dev
+    if spp <= chunk:
+        fn = build_render_batched(scene._config(res, spp), mesh, n_local)
+        return fn(material, scene._data, cam_stack, emissions, seed)
+    img = None
+    start = 0
+    while start < spp:
+        count = min(chunk, spp - start)
+        fn = build_render_batched(
+            scene._config(res, spp, it_count=count), mesh, n_local
+        )
+        part = fn(
+            material, scene._data, cam_stack, emissions, seed, start
+        ) * (count / spp)
+        img = part if img is None else img + part
+        start += count
+    return img
+
+
 def render_sharded(
     scene,
     material,
