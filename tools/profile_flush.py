@@ -9,12 +9,15 @@ standalone op timings are swamped by ~6 ms tunnel overhead):
      save vs the current 5-operand sort?
   3. Where do the current segment_scatter_add4 milliseconds go.
 """
+import sys
 import time
 import functools
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+sys.path.insert(0, "/root/repo")
 
 M = 1 << 20
 NBINS = 1 << 20
@@ -108,6 +111,36 @@ def main():
     real_ids = rs.randint(0, NBINS, size=M)
     ids_r = jnp.asarray(np.where(mask, real_ids, NBINS).astype(np.int32))
     print(f"flush (40% real):    {inloop(flush_cur, ids_r, *c)*1e3:.2f} ms", flush=True)
+
+    # --- sub-step breakdown of segment_scatter_add4 (prefixes of the
+    # pipeline; consecutive differences localize the milliseconds) ---
+    def stepA(ids, c0, c1, c2, c3):  # sortA only
+        i2, s0, s1, s2, s3 = jax.lax.sort([ids, c0, c1, c2, c3], num_keys=1)
+        return s0
+
+    def stepB(ids, c0, c1, c2, c3):  # + cumsum
+        i2, s0, s1, s2, s3 = jax.lax.sort([ids, c0, c1, c2, c3], num_keys=1)
+        csum = jnp.cumsum(jnp.stack([s0, s1, s2, s3], axis=0), axis=1)
+        return csum[0]
+
+    def stepC(ids, c0, c1, c2, c3):  # + sortB
+        i2, s0, s1, s2, s3 = jax.lax.sort([ids, c0, c1, c2, c3], num_keys=1)
+        csum = jnp.cumsum(jnp.stack([s0, s1, s2, s3], axis=0), axis=1)
+        is_end = jnp.concatenate([i2[:-1] != i2[1:], jnp.ones((1,), bool)])
+        key_b = jnp.where(is_end, i2, NBINS)
+        kb, e0, e1, e2, e3 = jax.lax.sort(
+            [key_b, csum[0], csum[1], csum[2], csum[3]], num_keys=1
+        )
+        return e0
+
+    def stepB2(ids, c0, c1, c2, c3):  # sortA + 4 separate cumsums
+        i2, s0, s1, s2, s3 = jax.lax.sort([ids, c0, c1, c2, c3], num_keys=1)
+        return jnp.cumsum(s0) + jnp.cumsum(s1)[0] + jnp.cumsum(s2)[0] + jnp.cumsum(s3)[0]
+
+    print(f"  stepA sortA only:        {inloop(stepA, ids_r, *c)*1e3:.2f} ms", flush=True)
+    print(f"  stepB +stack+cumsum:     {inloop(stepB, ids_r, *c)*1e3:.2f} ms", flush=True)
+    print(f"  stepB2 4x cumsum(M,):    {inloop(stepB2, ids_r, *c)*1e3:.2f} ms", flush=True)
+    print(f"  stepC +sortB:            {inloop(stepC, ids_r, *c)*1e3:.2f} ms", flush=True)
 
 
 if __name__ == "__main__":

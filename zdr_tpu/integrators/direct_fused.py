@@ -48,7 +48,9 @@ from .fused_glue import (
 )
 from .pallas_bounce import (
     LANES,
+    MXU_MIN_TRIS,
     build_fused_const,
+    build_woop_pack,
     fused_shade,
     fused_trace_interact,
     pad_to_planes,
@@ -73,6 +75,7 @@ def direct_fused_eligible(data: SceneData, cfg) -> bool:
 def _setup(data, material, cfg, coords):
     meta = data.fused_meta
     scene_pack, light_pack = build_fused_const(data, meta)
+    woop = build_woop_pack(scene_pack) if meta.num_tris >= MXU_MIN_TRIS else None
     tables = build_glue_tables(data, meta, light_pack)
     env_hw = (data.env.texture.shape[0], data.env.texture.shape[1])
     packed = pack_quads(material, getattr(cfg, "texture_bf16", False))
@@ -81,13 +84,14 @@ def _setup(data, material, cfg, coords):
     pxp = pad_to_planes(coords[:, 0], rows)
     pyp = pad_to_planes(coords[:, 1], rows)
     real = pad_to_planes(jnp.ones((n_pix,), jnp.int32), rows)
-    return meta, scene_pack, tables, env_hw, packed, rows, pxp, pyp, real
+    return meta, scene_pack, tables, env_hw, packed, rows, pxp, pyp, real, woop
 
 
 def _one_sample(data, material, camera, seed, cfg, setup, it, want_grad,
                 grad_extra=None):
     """Shared per-sample pipeline. Returns (radiance3, k2grad_outputs)."""
-    meta, scene_pack, tables, env_hw, packed, rows, pxp, pyp, real = setup
+    (meta, scene_pack, tables, env_hw, packed, rows, pxp, pyp, real,
+     woop) = setup
     h, w = material.shape[0], material.shape[1]
     interp = _interpret()
     sidx = jnp.zeros((rows, LANES), jnp.int32) + it
@@ -97,7 +101,8 @@ def _one_sample(data, material, camera, seed, cfg, setup, it, want_grad,
     )
     big = jnp.full((rows, LANES), 1e30, jnp.float32)
     k1 = fused_trace_interact(
-        scene_pack, meta.num_tris, (*o, *d, big, real), interpret=interp
+        scene_pack, meta.num_tris, (*o, *d, big, real), interpret=interp,
+        woop=woop,
     )
     (px, py, pz, ux, uy, nsx, nsy, nsz, ngx, ngy, ngz,
      shade, aer, aeg, aeb, miss_i) = k1
@@ -122,14 +127,14 @@ def _one_sample(data, material, camera, seed, cfg, setup, it, want_grad,
     # rr_depth=2 with depth plane 0 => no Russian roulette fires
     k2 = fused_shade(
         scene_pack, meta.num_tris, ray_planes, nee_planes, draws,
-        2, 16, h, w, interpret=interp,
+        2, 16, h, w, interpret=interp, woop=woop,
     )
     (radr, radg, radb, bnr, bng, bnb, pdfb,
      nox, noy, noz, ndx, ndy, ndz, alive_i) = k2
     k1b = fused_trace_interact(
         scene_pack, meta.num_tris,
         (nox, noy, noz, ndx, ndy, ndz, pdfb, alive_i),
-        interpret=interp,
+        interpret=interp, woop=woop,
     )
     (b_aer, b_aeg, b_aeb, b_miss) = (k1b[12], k1b[13], k1b[14], k1b[15])
     if meta.n_env > 0:
@@ -149,7 +154,7 @@ def _one_sample(data, material, camera, seed, cfg, setup, it, want_grad,
         2, 16, h, w,
         grad_planes=(real, rad[0], rad[1], rad[2], lgr, lgg, lgb, ux, uy,
                      u_splat),
-        interpret=interp,
+        interpret=interp, woop=woop,
     )
     return rad, k2g[14:]  # (le_rem3 (unused), g0..g3, ids)
 

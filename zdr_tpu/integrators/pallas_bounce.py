@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import NamedTuple, Tuple
 
 import jax
@@ -308,7 +309,119 @@ def build_fused_const(data, meta: FusedMeta):
     return scene_pack, light_pack
 
 
+# ----------------------------------------------- MXU (Woop) trace tables
+
+# triangles per MXU sweep tile: the per-tile transform output is
+# (3*TILE, 128) f32 x2 (o', d') = 3 MB of VMEM transients at 1024
+MXU_TILE = 1024
+# dense sweeps at or above this triangle count route to the MXU kernel;
+# below it the per-triangle fori_loop wins (measured: the Woop matmul
+# formulation pays ~fixed per-row-group matmul latency that tiny scenes
+# don't amortize)
+MXU_MIN_TRIS = 256
+
+
+def _gat_rows():
+    return 40  # 12 woop rows + 22 attr rows + 6 pad (sublane multiple of 8)
+
+
+def build_woop_pack(scene_pack):
+    """Woop-transform tables for the MXU dense sweep.
+
+    The ray-triangle test is an affine change of basis: with M = inv([e1 e2
+    n]) (rows ru/rv/rw), o' = M o - M p0 and d' = M d give t = -o'_w / d'_w,
+    u = o'_u + t d'_u, v = o'_v + t d'_v — i.e. for ALL triangles at once,
+    o' and d' are ONE matmul of the ray against a (4, 3T) table. That turns
+    the per-triangle scalar-broadcast fori sweep (~67 VPU ops/pair incl.
+    the attribute select sweep) into MXU work + a ~17 op/pair epilogue.
+
+    Returns (woop, gat, t_pad, tile):
+      woop: (n_tiles*3*tile, 4) f32 — per tile, TILE u-rows [M_u | -M_u p0],
+            then TILE v-rows, then TILE w-rows
+      gat:  (40, t_pad) f32 — rows 0:12 = woop rows transposed (winner
+            re-derivation), 12:34 = scene table cols 9:31 (attributes);
+            gathered per-ray by an exact one-hot f32 matmul
+    All outputs are loop-invariant functions of the scene arrays, so XLA
+    hoists their construction out of bounce loops."""
+    t_n = scene_pack.shape[0]
+    p0 = scene_pack[:, 0:3]
+    e1 = scene_pack[:, 3:6]
+    e2 = scene_pack[:, 6:9]
+    n = jnp.cross(e1, e2)
+    det = jnp.sum(n * n, axis=-1)  # det([e1 e2 n]) = |n|^2
+    inv_det = jnp.where(det > 1e-24, 1.0 / jnp.where(det == 0, 1.0, det), 0.0)
+    ru = jnp.cross(e2, n) * inv_det[:, None]
+    rv = jnp.cross(n, e1) * inv_det[:, None]
+    rw = n * inv_det[:, None]
+
+    def aug(r):  # (T, 3) row -> (T, 4) [r | -r.p0]
+        return jnp.concatenate([r, -jnp.sum(r * p0, axis=-1, keepdims=True)], axis=1)
+
+    bu_, bv_, bw_ = aug(ru), aug(rv), aug(rw)
+    tile = min(MXU_TILE, -(-t_n // LANES) * LANES)
+    t_pad = -(-t_n // tile) * tile
+    pad = ((0, t_pad - t_n), (0, 0))
+    bu_, bv_, bw_ = (jnp.pad(a, pad) for a in (bu_, bv_, bw_))
+    n_tiles = t_pad // tile
+    woop = (
+        jnp.stack([bu_, bv_, bw_], axis=0)  # (3, t_pad, 4)
+        .reshape(3, n_tiles, tile, 4)
+        .transpose(1, 0, 2, 3)
+        .reshape(n_tiles * 3 * tile, 4)
+    )
+    attr = jnp.pad(scene_pack[:, 9:31], pad).T  # (22, t_pad)
+    gat = jnp.concatenate(
+        [
+            jnp.concatenate([a.T for a in (bu_, bv_, bw_)], axis=0),  # (12, t_pad)
+            attr,
+            jnp.zeros((_gat_rows() - 34, t_pad), jnp.float32),
+        ],
+        axis=0,
+    )
+    return woop, gat, t_pad, tile
+
+
 # ------------------------------------------------------------- kernel 1
+
+
+def _interact_epilogue(o, d, pdf_prev, active, best_t, bu, bv, miss, av):
+    """Shared hit -> interaction/emitter-MIS math (any plane shape).
+    av: the 22 attribute values (scene table cols 9..30). Returns the 16
+    kernel-1 outputs in order."""
+    (uv0x, uv0y, du1x, du1y, du2x, du2y,
+     n0x, n0y, n0z, dn1x, dn1y, dn1z, dn2x, dn2y, dn2z,
+     ngx, ngy, ngz, emr, emg, emb, inv_pdfc) = av
+
+    # keep p finite on miss lanes (everything downstream is masked, but an
+    # inf position would breed NaNs that jnp.where cannot mask in products)
+    t_eff = jnp.where(miss, 1.0, best_t)
+    p = _vadd(o, _vscale(d, t_eff))
+    ux = uv0x + bu * du1x + bv * du2x
+    uy = uv0y + bu * du1y + bv * du2y
+    ns = _vnormalize((n0x + bu * dn1x + bv * dn2x,
+                      n0y + bu * dn1y + bv * dn2y,
+                      n0z + bu * dn1z + bv * dn2z))
+    ng = (ngx, ngy, ngz)
+    wo = _vscale(d, -1.0)
+    frontfacing = (_vdot(wo, ng) >= 1e-4) & (_vdot(wo, ns) >= 1e-4)
+    emissive = (emr > 0.0) | (emg > 0.0) | (emb > 0.0)
+
+    # emitter-hit MIS vs carried bsdf pdf (path.py:107-110)
+    cos_light = -_vdot(ng, d)
+    sqr_dist = best_t * best_t
+    pdf_hit = sqr_dist / jnp.maximum(inv_pdfc * cos_light, 1e-12)
+    mis_hit = pdf_prev / jnp.maximum(pdf_prev + pdf_hit, 1e-4)
+    emit_on = active & ~miss & frontfacing & emissive
+    aer = jnp.where(emit_on, mis_hit * emr, 0.0)
+    aeg = jnp.where(emit_on, mis_hit * emg, 0.0)
+    aeb = jnp.where(emit_on, mis_hit * emb, 0.0)
+
+    shade = active & ~miss & frontfacing & ~emissive
+    return (
+        p[0], p[1], p[2], ux, uy, ns[0], ns[1], ns[2], ng[0], ng[1], ng[2],
+        shade.astype(jnp.int32), aer, aeg, aeb,
+        (active & miss).astype(jnp.int32),
+    )
 
 
 def _trace_interact_kernel(n_tris: int, refs):
@@ -368,49 +481,186 @@ def _trace_interact_kernel(n_tris: int, refs):
 
     a0 = tuple(jnp.zeros_like(o[0]) for _ in range(22))
     av = jax.lax.fori_loop(0, n_tris, attr_body, a0)
-    (uv0x, uv0y, du1x, du1y, du2x, du2y,
-     n0x, n0y, n0z, dn1x, dn1y, dn1z, dn2x, dn2y, dn2z,
-     ngx, ngy, ngz, emr, emg, emb, inv_pdfc) = av
 
-    # keep p finite on miss lanes (everything downstream is masked, but an
-    # inf position would breed NaNs that jnp.where cannot mask in products)
-    t_eff = jnp.where(miss, 1.0, best_t)
-    p = _vadd(o, _vscale(d, t_eff))
-    ux = uv0x + bu * du1x + bv * du2x
-    uy = uv0y + bu * du1y + bv * du2y
-    ns = _vnormalize((n0x + bu * dn1x + bv * dn2x,
-                      n0y + bu * dn1y + bv * dn2y,
-                      n0z + bu * dn1z + bv * dn2z))
-    ng = (ngx, ngy, ngz)
-    wo = _vscale(d, -1.0)
-    frontfacing = (_vdot(wo, ng) >= 1e-4) & (_vdot(wo, ns) >= 1e-4)
-    emissive = emr > 0.0
-    emissive = emissive | (emg > 0.0) | (emb > 0.0)
+    vals = _interact_epilogue(o, d, pdf_prev, active, best_t, bu, bv, miss, av)
+    for ref, val in zip(outs, vals):
+        ref[:] = val
 
-    # emitter-hit MIS vs carried bsdf pdf (path.py:107-110)
-    cos_light = -_vdot(ng, d)
-    sqr_dist = best_t * best_t
-    pdf_hit = sqr_dist / jnp.maximum(inv_pdfc * cos_light, 1e-12)
-    mis_hit = pdf_prev / jnp.maximum(pdf_prev + pdf_hit, 1e-4)
-    emit_on = active & ~miss & frontfacing & emissive
-    aer_o[:] = jnp.where(emit_on, mis_hit * emr, 0.0)
-    aeg_o[:] = jnp.where(emit_on, mis_hit * emg, 0.0)
-    aeb_o[:] = jnp.where(emit_on, mis_hit * emb, 0.0)
 
-    shade = active & ~miss & frontfacing & ~emissive
-    shade_o[:] = shade.astype(jnp.int32)
-    miss_o[:] = (active & miss).astype(jnp.int32)
-    px_o[:] = p[0]
-    py_o[:] = p[1]
-    pz_o[:] = p[2]
-    ux_o[:] = ux
-    uy_o[:] = uy
-    nsx_o[:] = ns[0]
-    nsy_o[:] = ns[1]
-    nsz_o[:] = ns[2]
-    ngx_o[:] = ng[0]
-    ngy_o[:] = ng[1]
-    ngz_o[:] = ng[2]
+# ---------------------------------------------------- kernel 1, MXU sweep
+
+
+_HP = jax.lax.Precision.HIGHEST  # one-hot gather matmuls must be exact
+# f32 passes (value pass-through); see MXU_PRECISION for the sweep.
+
+# Precision of the Woop sweep matmuls (o', d' tile products). The sweep
+# only SELECTS the winning triangle / occlusion bit — the winner's t/u/v
+# are re-derived exactly on the VPU from its woop rows — but secondary
+# rays originate ON the surface (origin offset / t_min = 1e-4), where
+# o'_w is a catastrophic cancellation of O(1) terms: 1-pass bf16
+# (DEFAULT) noise ~4e-3 swamps the epsilon and self-occludes (measured
+# image meandiff 0.18 — unusable). Mosaic lowers only DEFAULT and
+# HIGHEST (6-pass f32), no HIGH; "comp" is a hand-rolled bf16x3: split
+# both operands into exact-bf16 hi + residual lo and sum three DEFAULT
+# passes (hi*hi + hi*lo + lo*hi), rel error ~3e-5 — inside the 1e-4
+# epsilons with margin. Measured full-kernel times
+# (tools/profile_mxu_variants.py, 962 tris x 262k rays, v5e): HIGHEST
+# 18.5 ms / DEFAULT 9.0 ms vs fori 22.9 ms; render-level parity gated
+# by tools/profile_mxu_accuracy.py. The env override exists for that
+# tool's per-process sweeps, not for users.
+MXU_PRECISION = os.environ.get("ZDR_MXU_PRECISION", "comp")
+
+
+def _sweep_dot(b, aug, prec=None):
+    """(M, 4) woop rows x (4, L) aug vectors -> (M, L) at precision
+    `prec` (None = MXU_PRECISION). Interpret-mode callers force
+    "highest" — CPU dots are f32-exact anyway, so CI stays bit-meaningful
+    while the TPU path pays only for comp."""
+    prec = MXU_PRECISION if prec is None else prec
+    dims = (((1,), (0,)), ((), ()))
+    f32 = jnp.float32
+    if prec == "comp":
+        bh = b.astype(jnp.bfloat16).astype(f32)
+        ah = aug.astype(jnp.bfloat16).astype(f32)
+        bl, al = b - bh, aug - ah
+
+        def dd(x, y):
+            return jax.lax.dot_general(
+                x, y, dims, precision=jax.lax.Precision.DEFAULT,
+                preferred_element_type=f32,
+            )
+
+        return dd(bh, ah) + dd(bh, al) + dd(bl, ah)
+    lax_prec = {
+        "default": jax.lax.Precision.DEFAULT,
+        "highest": jax.lax.Precision.HIGHEST,
+    }[prec]
+    return jax.lax.dot_general(
+        b, aug, dims, precision=lax_prec, preferred_element_type=f32
+    )
+
+
+def _mxu_rowdot(brows, aug):
+    """(4, L) woop rows  x  (4, L) per-lane aug vectors -> (1, L)."""
+    return jnp.sum(brows * aug, axis=0, keepdims=True)
+
+
+def _mxu_sweep_row(woop_r, tile, n_tiles, o_aug, d_aug, t_lo, t_hi, mode,
+                   prec=None):
+    """Woop sweep of one 128-lane ray row against all triangle tiles.
+
+    mode 'closest': returns (best_t (1,L), best_i (1,L) i32) with
+    first-index tie-breaking (parity with the fori MT sweep's strict <).
+    mode 'any': t_hi is a (1, L) per-lane max distance; returns occluded
+    (1, L) bool."""
+    f32 = jnp.float32
+    big_i = jnp.int32(1 << 30)
+
+    def tile_body(ti, carry):
+        base = ti * (3 * tile)
+        b = woop_r[pl.ds(base, 3 * tile), :]  # (3*tile, 4)
+        op = _sweep_dot(b, o_aug, prec)  # (3*tile, L)
+        dp = _sweep_dot(b, d_aug, prec)
+        ou, ov, ow = op[0:tile], op[tile : 2 * tile], op[2 * tile : 3 * tile]
+        du, dv, dw = dp[0:tile], dp[tile : 2 * tile], dp[2 * tile : 3 * tile]
+        tq = -ow / dw  # inf/NaN on dw==0 lanes: rejected by the checks below
+        u = ou + tq * du
+        v = ov + tq * dv
+        ok = (
+            (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
+            & (tq > t_lo)
+        )
+        if mode == "any":
+            occ = carry
+            hit = ok & (tq < t_hi)  # t_hi broadcasts (1, L)
+            return occ | jnp.any(hit, axis=0, keepdims=True)
+        best_t, best_i = carry
+        tm = jnp.where(ok, tq, 1e30)
+        t_tile = jnp.min(tm, axis=0, keepdims=True)  # (1, L)
+        idx = jax.lax.broadcasted_iota(jnp.int32, (tile, LANES), 0) + ti * tile
+        cand = jnp.where(ok & (tm == t_tile), idx, big_i)
+        i_tile = jnp.min(cand, axis=0, keepdims=True)
+        better = t_tile < best_t
+        return (
+            jnp.where(better, t_tile, best_t),
+            jnp.where(better, i_tile, best_i),
+        )
+
+    if mode == "any":
+        init = jnp.zeros((1, LANES), bool)
+    else:
+        init = (
+            jnp.full((1, LANES), 1e30, f32),
+            jnp.full((1, LANES), big_i, jnp.int32),
+        )
+    return jax.lax.fori_loop(0, n_tiles, tile_body, init)
+
+
+def _mxu_gather_row(gat_r, tile, n_tiles, prim, miss):
+    """Exact one-hot f32 gather of the winner's gat-table column -> (40, L).
+    prim: (1, L) i32 winning triangle ids (any value on miss lanes)."""
+    f32 = jnp.float32
+
+    def tile_body(ti, acc):
+        rel = prim - ti * tile  # (1, L)
+        ohi = jax.lax.broadcasted_iota(jnp.int32, (tile, LANES), 0)
+        oh = (ohi == rel).astype(f32)  # (tile, L)
+        gt = gat_r[:, pl.ds(ti * tile, tile)]  # (40, tile)
+        return acc + jax.lax.dot_general(
+            gt, oh, (((1,), (0,)), ((), ())), precision=_HP,
+            preferred_element_type=f32,
+        )
+
+    gat = jax.lax.fori_loop(
+        0, n_tiles, tile_body, jnp.zeros((_gat_rows(), LANES), f32)
+    )
+    return jnp.where(miss, 0.0, gat)
+
+
+def _mxu_trace_kernel(t_pad: int, tile: int, prec: str, refs):
+    """MXU kernel 1: Woop-transform sweep + one-hot attribute gather.
+    Same inputs/outputs as _trace_interact_kernel (plus woop/gat tables in
+    place of per-pair scene-table scalar reads)."""
+    woop_r, gat_r = refs[0], refs[1]
+    (ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, pdfp_r, act_r) = refs[2:10]
+    outs = refs[10:]
+    n_tiles = t_pad // tile
+    rows = ox_r.shape[0]
+    f32 = jnp.float32
+    ones = jnp.ones((1, LANES), f32)
+    zeros = jnp.zeros((1, LANES), f32)
+
+    def group(g, _):
+        sl = pl.ds(g, 1)
+        o = (ox_r[sl, :], oy_r[sl, :], oz_r[sl, :])
+        d = (dx_r[sl, :], dy_r[sl, :], dz_r[sl, :])
+        o_aug = jnp.concatenate([*o, ones], axis=0)  # (4, L)
+        d_aug = jnp.concatenate([*d, zeros], axis=0)
+        best_t, best_i = _mxu_sweep_row(
+            woop_r, tile, n_tiles, o_aug, d_aug, 0.0, None, "closest",
+            prec=prec,
+        )
+        miss = best_t >= 1e30
+        prim = jnp.where(miss, 0, best_i)
+        gat = _mxu_gather_row(gat_r, tile, n_tiles, prim, miss)
+        # winner re-derivation from its exact woop rows (bitwise-identical
+        # inputs to the sweep's tile matmul on the winning row)
+        bw_u, bw_v, bw_w = gat[0:4], gat[4:8], gat[8:12]
+        ow = _mxu_rowdot(bw_w, o_aug)
+        dw = _mxu_rowdot(bw_w, d_aug)
+        t_win = jnp.where(miss, 1.0, -ow / jnp.where(dw == 0.0, 1.0, dw))
+        bu = _mxu_rowdot(bw_u, o_aug) + t_win * _mxu_rowdot(bw_u, d_aug)
+        bv = _mxu_rowdot(bw_v, o_aug) + t_win * _mxu_rowdot(bw_v, d_aug)
+        av = tuple(gat[12 + k : 13 + k] for k in range(22))
+        vals = _interact_epilogue(
+            o, d, pdfp_r[sl, :], act_r[sl, :] != 0,
+            jnp.where(miss, 1e30, t_win), bu, bv, miss, av,
+        )
+        for ref, val in zip(outs, vals):
+            ref[sl, :] = val
+        return 0
+
+    jax.lax.fori_loop(0, rows, group, 0)
 
 
 # ------------------------------------------------------------- kernel 2
@@ -424,14 +674,16 @@ def _shade_kernel(
     tex_w: int,
     want_grad: bool,
     refs,
+    mxu=None,
 ):
     """Shadow sweep + GGX shade/sample + RR (+ PRB gradient taps).
 
     Light selection and every sampler draw happen in the XLA glue
     (fused_glue.py) and arrive as planes: wi_l/l_dist/l_pdf/l_eval are the
     already-selected NEE light sample (mesh, point or envmap — the kernel
-    is agnostic), u_* are this bounce's uniform draws."""
-    scene_r = refs[0]  # (T_pad, 32), cols 0-8 = tri p0/e1/e2
+    is agnostic), u_* are this bounce's uniform draws. With mxu=(t_pad,
+    tile), refs[0] is the Woop table and the shadow sweep runs on the MXU."""
+    scene_r = refs[0]  # (T_pad, 32) cols 0-8 tri p0/e1/e2; woop table if mxu
     idx = 1
     (px_r, py_r, pz_r, nsx_r, nsy_r, nsz_r, ngx_r, ngy_r, ngz_r,
      dx_r, dy_r, dz_r, shade_r, m0_r, m1_r, m2_r, m3_r,
@@ -444,7 +696,7 @@ def _shade_kernel(
         (ingrad_r, lrr_r, lrg_r, lrb_r, lgr_r, lgg_r, lgb_r,
          uvx_r, uvy_r, usplat_r) = refs[idx : idx + 10]
         idx += 10
-    outs = refs[idx:]
+    outs = refs[idx:-1] if mxu is not None else refs[idx:]
     (radr_o, radg_o, radb_o, bnr_o, bng_o, bnb_o, pdfb_o,
      nox_o, noy_o, noz_o, ndx_o, ndy_o, ndz_o, alive_o) = outs[:14]
     if want_grad:
@@ -472,27 +724,56 @@ def _shade_kernel(
     l_eval = (levr_r[:], levg_r[:], levb_r[:])
 
     # ---- shadow trace (trace_any, t_min=1e-4, t_max=l_dist)
-    def occ_body(ti, occ):
-        p0 = (scene_r[ti, 0], scene_r[ti, 1], scene_r[ti, 2])
-        e1 = (scene_r[ti, 3], scene_r[ti, 4], scene_r[ti, 5])
-        e2 = (scene_r[ti, 6], scene_r[ti, 7], scene_r[ti, 8])
-        h = _vcross(wi_l, e2)
-        a = _vdot(e1, h)
-        f = jnp.where(jnp.abs(a) > 1e-12, 1.0 / jnp.where(a == 0, 1.0, a), 0.0)
-        s = _vsub(p, p0)
-        u = f * _vdot(s, h)
-        q = _vcross(s, e1)
-        v = f * _vdot(wi_l, q)
-        t = f * _vdot(e2, q)
-        ok = (
-            (jnp.abs(a) > 1e-12)
-            & (u >= 0.0) & (u <= 1.0)
-            & (v >= 0.0) & (u + v <= 1.0)
-            & (t > 1e-4) & (t < l_dist)
-        )
-        return occ | ok.astype(jnp.int32)
+    if mxu is not None:
+        t_pad, tile, mxu_prec = mxu
+        n_tiles = t_pad // tile
+        rows = px_r.shape[0]
+        ones = jnp.ones((1, LANES), jnp.float32)
+        zeros_r = jnp.zeros((1, LANES), jnp.float32)
+        occ_scr = refs[-1]  # (BLOCK_ROWS, LANES) i32 VMEM scratch: Mosaic
+        # has no dynamic_update_slice on values, so rows accumulate in a ref
 
-    occluded = jax.lax.fori_loop(0, n_tris, occ_body, jnp.zeros_like(depth)) != 0
+        def occ_group(g, _):
+            sl = pl.ds(g, 1)
+            o_aug = jnp.concatenate(
+                [px_r[sl, :], py_r[sl, :], pz_r[sl, :], ones], axis=0
+            )
+            d_aug = jnp.concatenate(
+                [lwx_r[sl, :], lwy_r[sl, :], lwz_r[sl, :], zeros_r], axis=0
+            )
+            row = _mxu_sweep_row(
+                scene_r, tile, n_tiles, o_aug, d_aug, 1e-4, ldist_r[sl, :],
+                "any", prec=mxu_prec,
+            )
+            occ_scr[sl, :] = row.astype(jnp.int32)
+            return 0
+
+        jax.lax.fori_loop(0, rows, occ_group, 0)
+        occluded = occ_scr[:] != 0
+    else:
+        def occ_body(ti, occ):
+            p0 = (scene_r[ti, 0], scene_r[ti, 1], scene_r[ti, 2])
+            e1 = (scene_r[ti, 3], scene_r[ti, 4], scene_r[ti, 5])
+            e2 = (scene_r[ti, 6], scene_r[ti, 7], scene_r[ti, 8])
+            h = _vcross(wi_l, e2)
+            a = _vdot(e1, h)
+            f = jnp.where(jnp.abs(a) > 1e-12, 1.0 / jnp.where(a == 0, 1.0, a), 0.0)
+            s = _vsub(p, p0)
+            u = f * _vdot(s, h)
+            q = _vcross(s, e1)
+            v = f * _vdot(wi_l, q)
+            t = f * _vdot(e2, q)
+            ok = (
+                (jnp.abs(a) > 1e-12)
+                & (u >= 0.0) & (u <= 1.0)
+                & (v >= 0.0) & (u + v <= 1.0)
+                & (t > 1e-4) & (t < l_dist)
+            )
+            return occ | ok.astype(jnp.int32)
+
+        occluded = (
+            jax.lax.fori_loop(0, n_tris, occ_body, jnp.zeros_like(depth)) != 0
+        )
 
     wi_light_local = _to_local(tangent, binormal, ns, wi_l)
     nee_ok = shade & (~occluded) & (wi_light_local[2] >= 1e-4)
@@ -659,10 +940,11 @@ def _plane_shape(r):
     return (r, LANES)
 
 
-def fused_trace_interact(scene_pack, n_tris, rays, interpret=False):
+def fused_trace_interact(scene_pack, n_tris, rays, interpret=False, woop=None):
     """kernel 1. rays: 8 planes (ox,oy,oz,dx,dy,dz,pdf_prev f32, active i32).
     Returns 16 planes: p(3), uv(2), ns(3), ng(3), shade(i32), add_emit(3),
-    miss(i32)."""
+    miss(i32). `woop` = build_woop_pack(scene_pack) output routes to the
+    MXU sweep (big dense scenes); None keeps the per-triangle fori sweep."""
     r = rays[0].shape[0]
     grid = (r // BLOCK_ROWS,)
     f32 = jnp.float32
@@ -672,6 +954,22 @@ def fused_trace_interact(scene_pack, n_tris, rays, interpret=False):
         + [jax.ShapeDtypeStruct(_plane_shape(r), f32)] * 3
         + [jax.ShapeDtypeStruct(_plane_shape(r), jnp.int32)]
     )
+    if woop is not None:
+        woop_t, gat_t, t_pad, tile = woop
+        prec = "highest" if interpret else MXU_PRECISION
+        outs = pl.pallas_call(
+            lambda *refs: _mxu_trace_kernel(t_pad, tile, prec, refs),
+            grid=grid,
+            in_specs=[
+                _const_spec2(woop_t.shape),
+                _const_spec2(gat_t.shape),
+            ]
+            + [_ray_spec()] * 8,
+            out_specs=[_ray_spec()] * 16,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(woop_t, gat_t, *rays)
+        return outs
     outs = pl.pallas_call(
         lambda *refs: _trace_interact_kernel(n_tris, refs),
         grid=grid,
@@ -695,6 +993,7 @@ def fused_shade(
     tex_w: int,
     grad_planes=None,
     interpret=False,
+    woop=None,
 ):
     """kernel 2. ray_planes: 24 planes (p3, ns3, ng3, d3, shade i32, mat4,
     beta3, depth i32, add_emit3). nee_planes: 8 (wi_l3, dist, pdf, eval3 —
@@ -702,7 +1001,8 @@ def fused_shade(
     grad_planes (backward): 10 more (in_grad i32, le_rem3, le_grad3, uv2,
     u_splat). Returns 14 forward planes (radiance_add3, beta_next3,
     pdf_bounce, next_o3, next_d3, alive i32) + 8 backward planes
-    (le_rem_next3, g0..g3, splat ids i32)."""
+    (le_rem_next3, g0..g3, splat ids i32). `woop` (build_woop_pack output)
+    runs the shadow sweep on the MXU."""
     r = ray_planes[0].shape[0]
     grid = (r // BLOCK_ROWS,)
     want_grad = grad_planes is not None
@@ -715,27 +1015,36 @@ def fused_shade(
             jax.ShapeDtypeStruct(_plane_shape(r), jnp.int32)
         ]
     n_out = len(out_shape)
-    inputs = [scene_pack] + list(ray_planes) + list(nee_planes) + list(draw_planes)
-    in_specs = [_const_spec2(scene_pack.shape)] + [_ray_spec()] * 36
+    if woop is not None:
+        table = woop[0]
+        mxu = (woop[2], woop[3], "highest" if interpret else MXU_PRECISION)
+    else:
+        table, mxu = scene_pack, None
+    inputs = [table] + list(ray_planes) + list(nee_planes) + list(draw_planes)
+    in_specs = [_const_spec2(table.shape)] + [_ray_spec()] * 36
     if want_grad:
         inputs += list(grad_planes)
         in_specs += [_ray_spec()] * 10
+    scratch = (
+        [pltpu.VMEM((BLOCK_ROWS, LANES), jnp.int32)] if mxu is not None else []
+    )
     outs = pl.pallas_call(
         functools.partial(
             _kernel2_entry, n_tris, rr_depth, max_depth, tex_h, tex_w,
-            want_grad,
+            want_grad, mxu,
         ),
         grid=grid,
         in_specs=in_specs,
         out_specs=[_ray_spec()] * n_out,
         out_shape=out_shape,
+        scratch_shapes=scratch,
         interpret=interpret,
     )(*inputs)
     return outs
 
 
-def _kernel2_entry(t, rr_depth, max_depth, tex_h, tex_w, want_grad, *refs):
-    _shade_kernel(t, rr_depth, max_depth, tex_h, tex_w, want_grad, refs)
+def _kernel2_entry(t, rr_depth, max_depth, tex_h, tex_w, want_grad, mxu, *refs):
+    _shade_kernel(t, rr_depth, max_depth, tex_h, tex_w, want_grad, refs, mxu)
 
 
 def _const_spec2(shape):

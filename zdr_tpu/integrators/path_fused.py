@@ -33,7 +33,9 @@ from .fused_glue import (
 )
 from .pallas_bounce import (
     LANES,
+    MXU_MIN_TRIS,
     build_fused_const,
+    build_woop_pack,
     fused_shade,
     fused_trace_interact,
     pad_to_planes,
@@ -76,6 +78,7 @@ def fused_eligible(data: SceneData, cfg) -> bool:
 def _setup(data, material, cfg, coords, it_start):
     meta = data.fused_meta
     scene_pack, light_pack = build_fused_const(data, meta)
+    woop = build_woop_pack(scene_pack) if meta.num_tris >= MXU_MIN_TRIS else None
     tables = build_glue_tables(data, meta, light_pack)
     env_hw = (data.env.texture.shape[0], data.env.texture.shape[1])
     packed = pack_quads(material, getattr(cfg, "texture_bf16", False))
@@ -89,17 +92,17 @@ def _setup(data, material, cfg, coords, it_start):
     start_idx = jnp.zeros((rows, LANES), jnp.int32) + win_start
     stop_idx = jnp.where(real, win_start + win_count, win_start)
     return (meta, scene_pack, tables, env_hw, packed, rows, pxp, pyp,
-            start_idx, stop_idx)
+            start_idx, stop_idx, woop)
 
 
 def _bounce(data, meta, scene_pack, tables, env_hw, packed, cfg, s, lane_live,
-            smp, h, w, interp, want_rr=True):
+            smp, h, w, interp, want_rr=True, woop=None):
     """One fused bounce: k1 -> glue -> draws. Returns everything kernel 2
     needs plus the advanced sampler."""
     k1 = fused_trace_interact(
         scene_pack, meta.num_tris,
         (*s["o"], *s["d"], s["pdf_prev"], lane_live.astype(jnp.int32)),
-        interpret=interp,
+        interpret=interp, woop=woop,
     )
     (px, py, pz, ux, uy, nsx, nsy, nsz, ngx, ngy, ngz,
      shade, aer, aeg, aeb, miss_i) = k1
@@ -127,7 +130,7 @@ def render_path_fused(
 ):
     """Fused forward: spp-averaged radiance -> (n_pix, 3)."""
     (meta, scene_pack, tables, env_hw, packed, rows, pxp, pyp,
-     start_idx, stop_idx) = _setup(data, material, cfg, coords, it_start)
+     start_idx, stop_idx, woop) = _setup(data, material, cfg, coords, it_start)
     n_pix = coords.shape[0]
     h, w = material.shape[0], material.shape[1]
     md, rr_d = _depths(cfg)
@@ -160,11 +163,11 @@ def render_path_fused(
         lane_live = s["sample_idx"] < stop_idx
         ray_planes, nee_planes, draws, _uv, smp = _bounce(
             data, meta, scene_pack, tables, env_hw, packed, cfg, s,
-            lane_live, s["smp"], h, w, interp,
+            lane_live, s["smp"], h, w, interp, woop=woop,
         )
         k2 = fused_shade(
             scene_pack, meta.num_tris, ray_planes, nee_planes, draws,
-            rr_d, md, h, w, interpret=interp,
+            rr_d, md, h, w, interpret=interp, woop=woop,
         )
         (radr, radg, radb, bnr, bng, bnb, pdfb,
          nox, noy, noz, ndx, ndy, ndz, alive_i) = k2
@@ -224,7 +227,7 @@ def render_path_backward_fused(
     the compacted/packed flush (texture.segment_scatter_add4) drains the
     (SB, 5, N) buffer."""
     (meta, scene_pack, tables, env_hw, packed, rows, pxp, pyp,
-     start_idx, stop_idx) = _setup(data, material, cfg, coords, it_start)
+     start_idx, stop_idx, woop) = _setup(data, material, cfg, coords, it_start)
     n_pix = coords.shape[0]
     h, w = material.shape[0], material.shape[1]
     n_bins = h * w
@@ -284,7 +287,7 @@ def render_path_backward_fused(
         in_grad = lane_live & (s["phase"] == 1)
         (ray_planes, nee_planes, draws, (ux, uy), smp) = _bounce(
             data, meta, scene_pack, tables, env_hw, packed, cfg, s,
-            lane_live, s["smp"], h, w, interp,
+            lane_live, s["smp"], h, w, interp, woop=woop,
         )
         # gok gates only the cotangents: zeroed le_grad kills them while the
         # le_rem bookkeeping still runs (path_persistent.py parity)
@@ -299,7 +302,7 @@ def render_path_backward_fused(
                 in_grad.astype(jnp.int32), *s["le_rem"], glr, glg, glb,
                 ux, uy, u_splat,
             ),
-            interpret=interp,
+            interpret=interp, woop=woop,
         )
         (radr, radg, radb, bnr, bng, bnb, pdfb,
          nox, noy, noz, ndx, ndy, ndz, alive_i,
