@@ -104,12 +104,18 @@ class TestDirect:
         assert np.isfinite(img).all()
 
     def test_diffuse_grad(self, direct_scene):
+        # measured at CI spp (tools-run 2026-08-17): rel err 0.0003-0.005
+        # across spp 160-960 — the 0.05 gate has 10x headroom (VERDICT r2
+        # item 9: tightened from 0.15)
         ad, fd = fd_ad_pair(direct_scene, channel=0)
-        assert_close(ad, fd, rtol=0.15)
+        assert_close(ad, fd, rtol=0.05)
 
     def test_roughness_grad(self, direct_scene):
+        # roughness carries detached-vs-attached estimator noise (see
+        # TestConvergenceTrend docstring): measured 0.013-0.047 across spp
+        # 160-960, non-monotone — 0.10 is the noise-safe tightening
         ad, fd = fd_ad_pair(direct_scene, channel=3)
-        assert_close(ad, fd, rtol=0.15)
+        assert_close(ad, fd, rtol=0.10)
 
 
 @pytest.fixture(scope="module")
