@@ -230,7 +230,29 @@ def main():
                 best_t, best_i = carry
                 base = ti * (3 * tile)
                 b = woop_r[pl.ds(base, 3 * tile), :]
-                if variant == "comp":
+                if variant == "tcomp":
+                    # gat-backed transposed rows: no (3T, 4) minor-axis-4
+                    # table (32x VMEM pad); 6 transposed dots per tile
+                    def td(x, y):
+                        return jax.lax.dot_general(
+                            x, y, (((0,), (0,)), ((), ())),
+                            precision=jax.lax.Precision.DEFAULT,
+                            preferred_element_type=f32)
+
+                    def tcomp(x, y):
+                        xh = x.astype(jnp.bfloat16).astype(f32)
+                        yh = y.astype(jnp.bfloat16).astype(f32)
+                        return td(xh, yh) + td(xh, y - yh) + td(x - xh, yh)
+
+                    ts = pl.ds(ti * tile, tile)
+                    bu3 = gat_r[0:4, ts]
+                    bv3 = gat_r[4:8, ts]
+                    bw3 = gat_r[8:12, ts]
+                    ou, du = tcomp(bu3, o_aug), tcomp(bu3, d_aug)
+                    ov, dv = tcomp(bv3, o_aug), tcomp(bv3, d_aug)
+                    ow, dw = tcomp(bw3, o_aug), tcomp(bw3, d_aug)
+                    op = dp = None
+                elif variant == "comp":
                     def dd(x, y):
                         return jax.lax.dot_general(
                             x, y, (((1,), (0,)), ((), ())),
@@ -257,8 +279,9 @@ def main():
                     dp = jax.lax.dot_general(
                         b, d_aug, (((1,), (0,)), ((), ())), precision=prec,
                         preferred_element_type=f32)
-                ou, ov, ow = op[0:tile], op[tile:2*tile], op[2*tile:3*tile]
-                du, dv, dw = dp[0:tile], dp[tile:2*tile], dp[2*tile:3*tile]
+                if variant != "tcomp":
+                    ou, ov, ow = op[0:tile], op[tile:2*tile], op[2*tile:3*tile]
+                    du, dv, dw = dp[0:tile], dp[tile:2*tile], dp[2*tile:3*tile]
                 if variant == "recip":
                     tq = -ow * pl.reciprocal(dw, approx=True)
                 else:
@@ -327,6 +350,7 @@ def main():
         ("mxu-sweep ", lambda: run_mxu("sweep")),
         ("mxu-defaul", lambda: run_mxu("default")),
         ("mxu-comp  ", lambda: run_mxu("comp")),
+        ("mxu-tcomp ", lambda: run_mxu("tcomp")),
         ("mxu-od    ", lambda: run_mxu("od")),
         ("mxu-recip ", lambda: run_mxu("recip")),
         ("sweep+glue", run_sweep_glue),

@@ -99,9 +99,18 @@ def main():
     def loss(m):
         return jnp.sum(fetch(uv, m))
 
+    step = jax.jit(jax.grad(loss))
     t0 = time.time()
-    out = jax.jit(jax.grad(loss))(mat)
-    print("OK", float(out.sum()), f"{time.time()-t0:.1f}s", flush=True)
+    out = jax.block_until_ready(step(mat))
+    s = float(out.sum())
+    t_compile = time.time() - t0
+    t0 = time.time()
+    s2 = float(step(mat).sum())
+    t_run = time.time() - t0
+    print(
+        f"OK {s} compile+first={t_compile:.1f}s steady={t_run*1e3:.0f}ms",
+        flush=True,
+    )
 
 
 if __name__ == "__main__":

@@ -127,10 +127,11 @@ def _one_sample(data, material, camera, seed, cfg, setup, it, want_grad,
     # rr_depth=2 with depth plane 0 => no Russian roulette fires
     k2 = fused_shade(
         scene_pack, meta.num_tris, ray_planes, nee_planes, draws,
-        2, 16, h, w, interpret=interp, woop=woop,
+        2, 16, h, w, interpret=interp, woop=woop, want_occ=want_grad,
     )
     (radr, radg, radb, bnr, bng, bnb, pdfb,
-     nox, noy, noz, ndx, ndy, ndz, alive_i) = k2
+     nox, noy, noz, ndx, ndy, ndz, alive_i) = k2[:14]
+    occ = k2[14] if want_grad else None
     k1b = fused_trace_interact(
         scene_pack, meta.num_tris,
         (nox, noy, noz, ndx, ndy, ndz, pdfb, alive_i),
@@ -154,9 +155,9 @@ def _one_sample(data, material, camera, seed, cfg, setup, it, want_grad,
         2, 16, h, w,
         grad_planes=(real, rad[0], rad[1], rad[2], lgr, lgg, lgb, ux, uy,
                      u_splat),
-        interpret=interp, woop=woop,
+        interpret=interp, woop=woop, occ_in=occ,
     )
-    return rad, k2g[14:]  # (le_rem3 (unused), g0..g3, ids)
+    return rad, k2g[14:22]  # (le_rem3 (unused), g0..g3, ids)
 
 
 def render_direct_fused(

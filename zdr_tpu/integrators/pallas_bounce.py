@@ -335,12 +335,14 @@ def build_woop_pack(scene_pack):
     the per-triangle scalar-broadcast fori sweep (~67 VPU ops/pair incl.
     the attribute select sweep) into MXU work + a ~17 op/pair epilogue.
 
-    Returns (woop, gat, t_pad, tile):
-      woop: (n_tiles*3*tile, 4) f32 — per tile, TILE u-rows [M_u | -M_u p0],
-            then TILE v-rows, then TILE w-rows
-      gat:  (40, t_pad) f32 — rows 0:12 = woop rows transposed (winner
-            re-derivation), 12:34 = scene table cols 9:31 (attributes);
-            gathered per-ray by an exact one-hot f32 matmul
+    Returns (gat, t_pad, tile):
+      gat: (40, t_pad) f32 — rows 0:4/4:8/8:12 = the u/v/w woop rows
+           [M_r | -M_r p0] stored TRANSPOSED (the sweep contracts them
+           with (4, L) ray vectors via transposed dots — a dense layout;
+           a (3T, 4) minor-axis-4 table would pad to 128 lanes in VMEM,
+           32x bloat and certain OOM past ~4k tris); rows 12:34 = scene
+           table cols 9:31 (attributes). The winner's column is fetched
+           per-ray by an exact one-hot f32 matmul.
     All outputs are loop-invariant functions of the scene arrays, so XLA
     hoists their construction out of bounce loops."""
     t_n = scene_pack.shape[0]
@@ -362,13 +364,6 @@ def build_woop_pack(scene_pack):
     t_pad = -(-t_n // tile) * tile
     pad = ((0, t_pad - t_n), (0, 0))
     bu_, bv_, bw_ = (jnp.pad(a, pad) for a in (bu_, bv_, bw_))
-    n_tiles = t_pad // tile
-    woop = (
-        jnp.stack([bu_, bv_, bw_], axis=0)  # (3, t_pad, 4)
-        .reshape(3, n_tiles, tile, 4)
-        .transpose(1, 0, 2, 3)
-        .reshape(n_tiles * 3 * tile, 4)
-    )
     attr = jnp.pad(scene_pack[:, 9:31], pad).T  # (22, t_pad)
     gat = jnp.concatenate(
         [
@@ -378,7 +373,7 @@ def build_woop_pack(scene_pack):
         ],
         axis=0,
     )
-    return woop, gat, t_pad, tile
+    return gat, t_pad, tile
 
 
 # ------------------------------------------------------------- kernel 1
@@ -505,19 +500,20 @@ _HP = jax.lax.Precision.HIGHEST  # one-hot gather matmuls must be exact
 # passes (hi*hi + hi*lo + lo*hi), rel error ~3e-5 — inside the 1e-4
 # epsilons with margin. Measured full-kernel times
 # (tools/profile_mxu_variants.py, 962 tris x 262k rays, v5e): HIGHEST
-# 18.5 ms / DEFAULT 9.0 ms vs fori 22.9 ms; render-level parity gated
-# by tools/profile_mxu_accuracy.py. The env override exists for that
+# 19.0 ms / comp 14.8 / gat-backed transposed comp (this code) 14.1 /
+# DEFAULT 9.7 vs fori 23.5 ms; render-level parity gated by
+# tools/profile_mxu_accuracy.py. The env override exists for that
 # tool's per-process sweeps, not for users.
 MXU_PRECISION = os.environ.get("ZDR_MXU_PRECISION", "comp")
 
 
 def _sweep_dot(b, aug, prec=None):
-    """(M, 4) woop rows x (4, L) aug vectors -> (M, L) at precision
-    `prec` (None = MXU_PRECISION). Interpret-mode callers force
-    "highest" — CPU dots are f32-exact anyway, so CI stays bit-meaningful
-    while the TPU path pays only for comp."""
+    """(4, tile) transposed woop rows x (4, L) aug vectors -> (tile, L)
+    at precision `prec` (None = MXU_PRECISION). Interpret-mode callers
+    force "highest" — CPU dots are f32-exact anyway, so CI stays
+    bit-meaningful while the TPU path pays only for comp."""
     prec = MXU_PRECISION if prec is None else prec
-    dims = (((1,), (0,)), ((), ()))
+    dims = (((0,), (0,)), ((), ()))
     f32 = jnp.float32
     if prec == "comp":
         bh = b.astype(jnp.bfloat16).astype(f32)
@@ -545,9 +541,10 @@ def _mxu_rowdot(brows, aug):
     return jnp.sum(brows * aug, axis=0, keepdims=True)
 
 
-def _mxu_sweep_row(woop_r, tile, n_tiles, o_aug, d_aug, t_lo, t_hi, mode,
+def _mxu_sweep_row(gat_r, tile, n_tiles, o_aug, d_aug, t_lo, t_hi, mode,
                    prec=None):
-    """Woop sweep of one 128-lane ray row against all triangle tiles.
+    """Woop sweep of one 128-lane ray row against all triangle tiles,
+    reading the transposed u/v/w woop rows from the dense gat table.
 
     mode 'closest': returns (best_t (1,L), best_i (1,L) i32) with
     first-index tie-breaking (parity with the fori MT sweep's strict <).
@@ -557,12 +554,13 @@ def _mxu_sweep_row(woop_r, tile, n_tiles, o_aug, d_aug, t_lo, t_hi, mode,
     big_i = jnp.int32(1 << 30)
 
     def tile_body(ti, carry):
-        base = ti * (3 * tile)
-        b = woop_r[pl.ds(base, 3 * tile), :]  # (3*tile, 4)
-        op = _sweep_dot(b, o_aug, prec)  # (3*tile, L)
-        dp = _sweep_dot(b, d_aug, prec)
-        ou, ov, ow = op[0:tile], op[tile : 2 * tile], op[2 * tile : 3 * tile]
-        du, dv, dw = dp[0:tile], dp[tile : 2 * tile], dp[2 * tile : 3 * tile]
+        ts = pl.ds(ti * tile, tile)
+        bu = gat_r[0:4, ts]  # (4, tile)
+        bv = gat_r[4:8, ts]
+        bw = gat_r[8:12, ts]
+        ou, du = _sweep_dot(bu, o_aug, prec), _sweep_dot(bu, d_aug, prec)
+        ov, dv = _sweep_dot(bv, o_aug, prec), _sweep_dot(bv, d_aug, prec)
+        ow, dw = _sweep_dot(bw, o_aug, prec), _sweep_dot(bw, d_aug, prec)
         tq = -ow / dw  # inf/NaN on dw==0 lanes: rejected by the checks below
         u = ou + tq * du
         v = ov + tq * dv
@@ -619,11 +617,11 @@ def _mxu_gather_row(gat_r, tile, n_tiles, prim, miss):
 
 def _mxu_trace_kernel(t_pad: int, tile: int, prec: str, refs):
     """MXU kernel 1: Woop-transform sweep + one-hot attribute gather.
-    Same inputs/outputs as _trace_interact_kernel (plus woop/gat tables in
+    Same inputs/outputs as _trace_interact_kernel (with the gat table in
     place of per-pair scene-table scalar reads)."""
-    woop_r, gat_r = refs[0], refs[1]
-    (ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, pdfp_r, act_r) = refs[2:10]
-    outs = refs[10:]
+    gat_r = refs[0]
+    (ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, pdfp_r, act_r) = refs[1:9]
+    outs = refs[9:]
     n_tiles = t_pad // tile
     rows = ox_r.shape[0]
     f32 = jnp.float32
@@ -637,7 +635,7 @@ def _mxu_trace_kernel(t_pad: int, tile: int, prec: str, refs):
         o_aug = jnp.concatenate([*o, ones], axis=0)  # (4, L)
         d_aug = jnp.concatenate([*d, zeros], axis=0)
         best_t, best_i = _mxu_sweep_row(
-            woop_r, tile, n_tiles, o_aug, d_aug, 0.0, None, "closest",
+            gat_r, tile, n_tiles, o_aug, d_aug, 0.0, None, "closest",
             prec=prec,
         )
         miss = best_t >= 1e30
@@ -675,6 +673,8 @@ def _shade_kernel(
     want_grad: bool,
     refs,
     mxu=None,
+    has_occ: bool = False,
+    want_occ: bool = False,
 ):
     """Shadow sweep + GGX shade/sample + RR (+ PRB gradient taps).
 
@@ -682,8 +682,9 @@ def _shade_kernel(
     (fused_glue.py) and arrive as planes: wi_l/l_dist/l_pdf/l_eval are the
     already-selected NEE light sample (mesh, point or envmap — the kernel
     is agnostic), u_* are this bounce's uniform draws. With mxu=(t_pad,
-    tile), refs[0] is the Woop table and the shadow sweep runs on the MXU."""
-    scene_r = refs[0]  # (T_pad, 32) cols 0-8 tri p0/e1/e2; woop table if mxu
+    tile, prec), refs[0] is the gat table and the shadow sweep runs on the
+    MXU."""
+    scene_r = refs[0]  # (T_pad, 32) cols 0-8 tri p0/e1/e2; gat table if mxu
     idx = 1
     (px_r, py_r, pz_r, nsx_r, nsy_r, nsz_r, ngx_r, ngy_r, ngz_r,
      dx_r, dy_r, dz_r, shade_r, m0_r, m1_r, m2_r, m3_r,
@@ -692,15 +693,21 @@ def _shade_kernel(
     (lwx_r, lwy_r, lwz_r, ldist_r, lpdf_r, levr_r, levg_r, levb_r,
      ulobe_r, ub0_r, ub1_r, urr_r) = refs[idx : idx + 12]
     idx += 12
+    occ_r = None
+    if has_occ:
+        occ_r = refs[idx]
+        idx += 1
     if want_grad:
         (ingrad_r, lrr_r, lrg_r, lrb_r, lgr_r, lgg_r, lgb_r,
          uvx_r, uvy_r, usplat_r) = refs[idx : idx + 10]
         idx += 10
-    outs = refs[idx:-1] if mxu is not None else refs[idx:]
+    has_scratch = mxu is not None and not has_occ
+    outs = refs[idx:-1] if has_scratch else refs[idx:]
     (radr_o, radg_o, radb_o, bnr_o, bng_o, bnb_o, pdfb_o,
      nox_o, noy_o, noz_o, ndx_o, ndy_o, ndz_o, alive_o) = outs[:14]
     if want_grad:
-        (lsr_o, lsg_o, lsb_o, g0_o, g1_o, g2_o, g3_o, ids_o) = outs[14:]
+        (lsr_o, lsg_o, lsb_o, g0_o, g1_o, g2_o, g3_o, ids_o) = outs[14:22]
+    occ_o = outs[-1] if want_occ else None
 
     p = (px_r[:], py_r[:], pz_r[:])
     ns = (nsx_r[:], nsy_r[:], nsz_r[:])
@@ -724,7 +731,12 @@ def _shade_kernel(
     l_eval = (levr_r[:], levg_r[:], levb_r[:])
 
     # ---- shadow trace (trace_any, t_min=1e-4, t_max=l_dist)
-    if mxu is not None:
+    if has_occ:
+        # precomputed occlusion plane (the forward shade pass of the same
+        # sample already swept these exact rays — direct_fused passes it
+        # through to the grad pass, halving this kernel's sweep cost)
+        occluded = occ_r[:] != 0
+    elif mxu is not None:
         t_pad, tile, mxu_prec = mxu
         n_tiles = t_pad // tile
         rows = px_r.shape[0]
@@ -842,6 +854,8 @@ def _shade_kernel(
     ndy_o[:] = wi[1]
     ndz_o[:] = wi[2]
     alive_o[:] = path_alive.astype(jnp.int32)
+    if want_occ:
+        occ_o[:] = occluded.astype(jnp.int32)
 
     if want_grad:
         in_grad = ingrad_r[:] != 0
@@ -955,20 +969,16 @@ def fused_trace_interact(scene_pack, n_tris, rays, interpret=False, woop=None):
         + [jax.ShapeDtypeStruct(_plane_shape(r), jnp.int32)]
     )
     if woop is not None:
-        woop_t, gat_t, t_pad, tile = woop
+        gat_t, t_pad, tile = woop
         prec = "highest" if interpret else MXU_PRECISION
         outs = pl.pallas_call(
             lambda *refs: _mxu_trace_kernel(t_pad, tile, prec, refs),
             grid=grid,
-            in_specs=[
-                _const_spec2(woop_t.shape),
-                _const_spec2(gat_t.shape),
-            ]
-            + [_ray_spec()] * 8,
+            in_specs=[_const_spec2(gat_t.shape)] + [_ray_spec()] * 8,
             out_specs=[_ray_spec()] * 16,
             out_shape=out_shape,
             interpret=interpret,
-        )(woop_t, gat_t, *rays)
+        )(gat_t, *rays)
         return outs
     outs = pl.pallas_call(
         lambda *refs: _trace_interact_kernel(n_tris, refs),
@@ -994,6 +1004,8 @@ def fused_shade(
     grad_planes=None,
     interpret=False,
     woop=None,
+    occ_in=None,
+    want_occ=False,
 ):
     """kernel 2. ray_planes: 24 planes (p3, ns3, ng3, d3, shade i32, mat4,
     beta3, depth i32, add_emit3). nee_planes: 8 (wi_l3, dist, pdf, eval3 —
@@ -1001,11 +1013,14 @@ def fused_shade(
     grad_planes (backward): 10 more (in_grad i32, le_rem3, le_grad3, uv2,
     u_splat). Returns 14 forward planes (radiance_add3, beta_next3,
     pdf_bounce, next_o3, next_d3, alive i32) + 8 backward planes
-    (le_rem_next3, g0..g3, splat ids i32). `woop` (build_woop_pack output)
-    runs the shadow sweep on the MXU."""
+    (le_rem_next3, g0..g3, splat ids i32) [+ 1 occluded i32 plane if
+    want_occ]. `woop` (build_woop_pack output) runs the shadow sweep on
+    the MXU. `occ_in` (an i32 plane from a want_occ call over the SAME
+    rays/NEE sample) skips the shadow sweep entirely."""
     r = ray_planes[0].shape[0]
     grid = (r // BLOCK_ROWS,)
     want_grad = grad_planes is not None
+    has_occ = occ_in is not None
     f32 = jnp.float32
     out_shape = [jax.ShapeDtypeStruct(_plane_shape(r), f32)] * 13 + [
         jax.ShapeDtypeStruct(_plane_shape(r), jnp.int32)
@@ -1014,24 +1029,31 @@ def fused_shade(
         out_shape += [jax.ShapeDtypeStruct(_plane_shape(r), f32)] * 7 + [
             jax.ShapeDtypeStruct(_plane_shape(r), jnp.int32)
         ]
+    if want_occ:
+        out_shape += [jax.ShapeDtypeStruct(_plane_shape(r), jnp.int32)]
     n_out = len(out_shape)
     if woop is not None:
-        table = woop[0]
-        mxu = (woop[2], woop[3], "highest" if interpret else MXU_PRECISION)
+        table = woop[0]  # the gat table; its rows 0:12 drive the occ sweep
+        mxu = (woop[1], woop[2], "highest" if interpret else MXU_PRECISION)
     else:
         table, mxu = scene_pack, None
     inputs = [table] + list(ray_planes) + list(nee_planes) + list(draw_planes)
     in_specs = [_const_spec2(table.shape)] + [_ray_spec()] * 36
+    if has_occ:
+        inputs.append(occ_in)
+        in_specs.append(_ray_spec())
     if want_grad:
         inputs += list(grad_planes)
         in_specs += [_ray_spec()] * 10
     scratch = (
-        [pltpu.VMEM((BLOCK_ROWS, LANES), jnp.int32)] if mxu is not None else []
+        [pltpu.VMEM((BLOCK_ROWS, LANES), jnp.int32)]
+        if (mxu is not None and not has_occ)
+        else []
     )
     outs = pl.pallas_call(
         functools.partial(
             _kernel2_entry, n_tris, rr_depth, max_depth, tex_h, tex_w,
-            want_grad, mxu,
+            want_grad, mxu, has_occ, want_occ,
         ),
         grid=grid,
         in_specs=in_specs,
@@ -1043,8 +1065,10 @@ def fused_shade(
     return outs
 
 
-def _kernel2_entry(t, rr_depth, max_depth, tex_h, tex_w, want_grad, mxu, *refs):
-    _shade_kernel(t, rr_depth, max_depth, tex_h, tex_w, want_grad, refs, mxu)
+def _kernel2_entry(t, rr_depth, max_depth, tex_h, tex_w, want_grad, mxu,
+                   has_occ, want_occ, *refs):
+    _shade_kernel(t, rr_depth, max_depth, tex_h, tex_w, want_grad, refs, mxu,
+                  has_occ, want_occ)
 
 
 def _const_spec2(shape):
