@@ -133,8 +133,26 @@ def main():
     err = float(jnp.abs(material - material_gt).mean())
     first = float(np.mean(losses[:n_pat]))
     last = float(np.mean(losses[-n_pat:]))
-    print(f"loss {first:.4f} -> {last:.4f}  mean |tex err| {err:.4f}")
-    return {"loss_first": first, "loss_last": last, "tex_err": err}
+    # MC noise floor of the loss: rendering the TRUE material against the
+    # (noisy, other-seed) targets. With low-discrepancy sampling (pmj02bn
+    # default) the floor dominates small CI-sized losses, so convergence
+    # must be judged on the excess above it, not the raw ratio.
+    floors = []
+    for p, em in enumerate(patterns):
+        scene.update_lights(em)
+        img = scene.render(material_gt, res=res, spp=spp, seed=5000 + p)
+        floors.append(float(jnp.sum((img - targets[p]) ** 2)))
+    floor = float(np.mean(floors))
+    print(
+        f"loss {first:.4f} -> {last:.4f} (noise floor {floor:.4f})  "
+        f"mean |tex err| {err:.4f}"
+    )
+    return {
+        "loss_first": first,
+        "loss_last": last,
+        "noise_floor": floor,
+        "tex_err": err,
+    }
 
 
 if __name__ == "__main__":

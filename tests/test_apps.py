@@ -35,4 +35,10 @@ class TestLightstage:
         import lightstage
 
         r = lightstage.main()
-        assert r["loss_last"] < 0.8 * r["loss_first"], r
+        # judge convergence on the loss EXCESS above the MC noise floor:
+        # under the pmj02bn default the floor is most of the raw loss at
+        # CI sizes, so a raw-ratio gate only measures noise, not recovery
+        excess_first = r["loss_first"] - r["noise_floor"]
+        excess_last = r["loss_last"] - r["noise_floor"]
+        assert excess_first > 0, r
+        assert excess_last < 0.8 * excess_first, r

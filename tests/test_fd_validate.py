@@ -26,6 +26,13 @@ from zdr_tpu.geometry.procedural import (
 
 FD_EPS = 0.01  # fd_validate.py:92
 SEED = 3
+# All FD fixtures pin sampler="lcg": the gates are calibrated on white
+# noise, and the roughness channel's detached-vs-attached estimator gap is
+# a per-realization quantity whose magnitude shifts under pmj02bn's
+# stratification (measured: path roughness rel 0.19 under pmj02bn vs
+# <=0.15 under lcg at CI spp). Per-sampler gradient correctness is gated
+# end-to-end by tests/test_samplers.py instead.
+SAMPLER = "lcg"
 
 
 def fd_ad_pair(scene, texres=24, res=(40, 40), spp=160, channel=None):
@@ -59,7 +66,7 @@ def assert_close(ad, fd, rtol):
 
 @pytest.fixture(scope="module")
 def collocated_scene():
-    s = Scene([(make_uv_sphere(0.5), None, None)], integrator="collocated")
+    s = Scene([(make_uv_sphere(0.5), None, None)], integrator="collocated", sampler=SAMPLER)
     s.camera = Camera(fov=0.8, origin=float3(1.2, 0.2, 0.0), target=float3(0, 0, 0))
     return s
 
@@ -69,6 +76,7 @@ def direct_scene():
     s = Scene(
         [(make_cornell_box(), None, None), (make_cornell_light(), None, 15.0)],
         integrator="direct",
+        sampler=SAMPLER,
     )
     s.camera = Camera(
         fov=50 / 180 * 3.14159,
@@ -80,7 +88,7 @@ def direct_scene():
 
 @pytest.fixture(scope="module")
 def env_scene():
-    s = Scene([(make_uv_sphere(0.5), None, None)], integrator="direct")
+    s = Scene([(make_uv_sphere(0.5), None, None)], integrator="direct", sampler=SAMPLER)
     s.add_envmap(make_test_envmap())
     s.camera = Camera(fov=0.8, origin=float3(1.2, 0.2, 0.0), target=float3(0, 0, 0))
     return s
@@ -123,6 +131,7 @@ def path_scene():
     s = Scene(
         [(make_cornell_box(), None, None), (make_cornell_light(), None, 15.0)],
         integrator="path",
+        sampler=SAMPLER,
     )
     s.camera = Camera(
         fov=50 / 180 * 3.14159,
@@ -175,6 +184,13 @@ class TestConvergenceTrend:
         # unfused walk: pallas interpret mode on CPU is ~8x slower at high
         # spp, and fused-vs-unfused math equality is covered by test_fused
         scene.fused = False
+        # lcg baseline: the trend gate asserts the 1/sqrt(spp) MC shrink,
+        # calibrated on white noise. With the pmj02bn default the spp-64
+        # error is ALREADY converged (measured path 0.017 at 64 spp vs
+        # lcg's 0.24) and the ratio between two tiny noise floors is
+        # meaningless; the sampler's own variance-reduction ordering is
+        # gated by test_samplers.py instead.
+        scene.sampler = "lcg"
         # decision-free configuration: Russian roulette's material-dependent
         # accept/scale decisions inject O(eps)-probability O(1) jumps into
         # the FD estimate that swamp CI-sized sample counts (the detached

@@ -76,6 +76,8 @@ class TestMosaicSmoke:
         RR on) at spp 4096, where the measured error is 0.0019; gate 5e-3
         leaves ~2.5x noise headroom."""
         s = _cbox()
+        s.sampler = "lcg"  # the BASELINE.md calibration runs (0.0019 at
+        # 4096 spp) used the round-2 lcg default; keep the gate comparable
         material = jax.random.uniform(
             jax.random.PRNGKey(0), (24, 24, 4), minval=0.25, maxval=0.75
         )

@@ -63,10 +63,15 @@ def main():
     n_tris = meta.num_tris
     scene_pack, _ = pb.build_fused_const(data, meta)
     scene_pack = jax.block_until_ready(jnp.asarray(scene_pack))
-    woop = pb.build_woop_pack(scene_pack)
-    woop_t, gat_t, t_pad, tile = (jnp.asarray(woop[0]), jnp.asarray(woop[1]),
-                                  woop[2], woop[3])
+    gat_t, t_pad, tile = pb.build_woop_pack(scene_pack)
+    gat_t = jnp.asarray(gat_t)
     n_tiles = t_pad // tile
+    # legacy (3T, 4) table for the pre-tcomp variants
+    woop_t = jnp.asarray(
+        jnp.stack([gat_t[0:4].T, gat_t[4:8].T, gat_t[8:12].T], axis=0)
+        .reshape(3, n_tiles, tile, 4).transpose(1, 0, 2, 3)
+        .reshape(n_tiles * 3 * tile, 4)
+    )
 
     res = (512, 512)
     coords = _pixel_grid(res)
@@ -332,6 +337,127 @@ def main():
             scratch_shapes=[pltpu.VMEM((BR, LANES), f32)] * 3,
         )(woop_t, gat_t, *rays)
 
+    # ---------------- AABB-culled tiled sweep: skip tiles no lane can hit
+    def make_boxes(tile_sz):
+        sp = np.asarray(scene_pack)[:n_tris]
+        p0 = sp[:, 0:3]
+        corners = np.stack([p0, p0 + sp[:, 3:6], p0 + sp[:, 6:9]], 1)
+        t_pad2 = -(-n_tris // tile_sz) * tile_sz
+        lo = np.full((t_pad2, 3), 1e30, np.float32)
+        hi = np.full((t_pad2, 3), -1e30, np.float32)
+        lo[:n_tris] = corners.min(1)
+        hi[:n_tris] = corners.max(1)
+        nt = t_pad2 // tile_sz
+        boxes = np.zeros((max(nt, 8), 8), np.float32)
+        boxes[:nt, 0:3] = lo.reshape(nt, tile_sz, 3).min(1)
+        boxes[:nt, 3:6] = hi.reshape(nt, tile_sz, 3).max(1)
+        boxes[nt:, 0:3] = 1e30  # empty pad tiles: slab test always misses
+        boxes[nt:, 3:6] = -1e30
+        return jnp.asarray(boxes), t_pad2, nt
+
+    def aabb_kernel(tile_sz, t_pad2, nt, refs):
+        gat_r, box_r = refs[0], refs[1]
+        oxr, oyr, ozr, dxr, dyr, dzr = refs[2:8]
+        t_o, u_o, a_o = refs[8:11]
+        scr_t, scr_u, scr_a = refs[11:14]
+        ones = jnp.ones((1, LANES), f32)
+        zeros = jnp.zeros((1, LANES), f32)
+        big_i = jnp.int32(1 << 30)
+
+        def td(x, y):
+            return jax.lax.dot_general(
+                x, y, (((0,), (0,)), ((), ())),
+                precision=jax.lax.Precision.DEFAULT,
+                preferred_element_type=f32)
+
+        def tcomp(x, y):
+            xh = x.astype(jnp.bfloat16).astype(f32)
+            yh = y.astype(jnp.bfloat16).astype(f32)
+            return td(xh, yh) + td(xh, y - yh) + td(x - xh, yh)
+
+        def group(g, _):
+            sl = pl.ds(g, 1)
+            o = (oxr[sl, :], oyr[sl, :], ozr[sl, :])
+            d = (dxr[sl, :], dyr[sl, :], dzr[sl, :])
+            o_aug = jnp.concatenate([*o, ones], axis=0)
+            d_aug = jnp.concatenate([*d, zeros], axis=0)
+            inv = tuple(1.0 / jnp.where(c == 0, 1e-20, c) for c in d)
+
+            def tile_body(ti, carry):
+                t0 = tuple((box_r[ti, k] - o[k]) * inv[k] for k in range(3))
+                t1 = tuple((box_r[ti, 3 + k] - o[k]) * inv[k] for k in range(3))
+                tmin = jnp.maximum(
+                    jnp.maximum(jnp.minimum(t0[0], t1[0]),
+                                jnp.minimum(t0[1], t1[1])),
+                    jnp.maximum(jnp.minimum(t0[2], t1[2]), 0.0),
+                )
+                tmax = jnp.minimum(
+                    jnp.minimum(jnp.maximum(t0[0], t1[0]),
+                                jnp.maximum(t0[1], t1[1])),
+                    jnp.maximum(t0[2], t1[2]),
+                )
+                need = jnp.any(tmin <= tmax)
+
+                def sweep(c):
+                    best_t, best_i = c
+                    ts = pl.ds(ti * tile_sz, tile_sz)
+                    bu3, bv3, bw3 = gat_r[0:4, ts], gat_r[4:8, ts], gat_r[8:12, ts]
+                    ou, du = tcomp(bu3, o_aug), tcomp(bu3, d_aug)
+                    ov, dv = tcomp(bv3, o_aug), tcomp(bv3, d_aug)
+                    ow, dw = tcomp(bw3, o_aug), tcomp(bw3, d_aug)
+                    tq = -ow / dw
+                    u = ou + tq * du
+                    v = ov + tq * dv
+                    ok = ((u >= 0.0) & (u <= 1.0) & (v >= 0.0)
+                          & (u + v <= 1.0) & (tq > 0.0))
+                    tm = jnp.where(ok, tq, 1e30)
+                    t_tile = jnp.min(tm, axis=0, keepdims=True)
+                    idx = jax.lax.broadcasted_iota(
+                        jnp.int32, (tile_sz, LANES), 0) + ti * tile_sz
+                    cand = jnp.where(ok & (tm == t_tile), idx, big_i)
+                    i_tile = jnp.min(cand, axis=0, keepdims=True)
+                    better = t_tile < best_t
+                    return (jnp.where(better, t_tile, best_t),
+                            jnp.where(better, i_tile, best_i))
+
+                return jax.lax.cond(need, sweep, lambda c: c, carry)
+
+            best_t, best_i = jax.lax.fori_loop(
+                0, nt, tile_body,
+                (jnp.full((1, LANES), 1e30, f32),
+                 jnp.full((1, LANES), big_i, jnp.int32)),
+            )
+            scr_t[sl, :] = best_t
+            scr_u[sl, :] = best_i.astype(f32)
+            scr_a[sl, :] = zeros
+            return 0
+
+        jax.lax.fori_loop(0, BR, group, 0)
+        t_o[:] = scr_t[:]
+        u_o[:] = scr_u[:]
+        a_o[:] = scr_a[:]
+
+    def run_aabb(tile_sz):
+        boxes, t_pad2, nt = make_boxes(tile_sz)
+        # rebuild gat at this tile padding
+        sp = jnp.asarray(scene_pack)
+        import zdr_tpu.integrators.pallas_bounce as pb2
+        old = pb2.MXU_TILE
+        pb2.MXU_TILE = tile_sz
+        try:
+            gat2 = pb2.build_woop_pack(sp)[0]
+        finally:
+            pb2.MXU_TILE = old
+        return pl.pallas_call(
+            lambda *refs, t=tile_sz, tp=t_pad2, n=nt: aabb_kernel(t, tp, n, refs),
+            grid=grid,
+            in_specs=[const_spec(gat2.shape), const_spec(boxes.shape)]
+            + [ray_spec()] * 6,
+            out_specs=[ray_spec()] * 3,
+            out_shape=out3,
+            scratch_shapes=[pltpu.VMEM((BR, LANES), f32)] * 3,
+        )(gat2, boxes, *rays)
+
     # ---------------- sweep in-kernel, attribute gather in XLA glue
     attr_tbl = scene_pack[:, 9:31]  # (T_pad, 22)
 
@@ -354,6 +480,9 @@ def main():
         ("mxu-od    ", lambda: run_mxu("od")),
         ("mxu-recip ", lambda: run_mxu("recip")),
         ("sweep+glue", run_sweep_glue),
+        ("aabb-128  ", lambda: run_aabb(128)),
+        ("aabb-256  ", lambda: run_aabb(256)),
+        ("aabb-512  ", lambda: run_aabb(512)),
     ]:
         try:
             t = inloop(fn)
