@@ -31,7 +31,7 @@ def main():
     from zdr_tpu import Camera, Scene, float3
     from zdr_tpu.geometry.procedural import make_quad, make_uv_sphere
 
-    prec = os.environ.get("ZDR_MXU_PRECISION", "high")
+    prec = os.environ.get("ZDR_MXU_PRECISION", "comp")
     res = (256, 256)
     spp = 16
     mat = jnp.full((256, 256, 4), 0.5, jnp.float32)

@@ -311,9 +311,12 @@ def build_fused_const(data, meta: FusedMeta):
 
 # ----------------------------------------------- MXU (Woop) trace tables
 
-# triangles per MXU sweep tile: the per-tile transform output is
-# (3*TILE, 128) f32 x2 (o', d') = 3 MB of VMEM transients at 1024
-MXU_TILE = 1024
+# triangles per MXU sweep tile. 512 measured best with AABB tile culling
+# (tools/profile_mxu_variants.py aabb-*: 512 -> 10.4 ms vs 1024-tile
+# uncull ed 14.1 at 962 tris/262k primary rays) — finer tiles skip more,
+# coarser tiles amortize better; 512 balances both and keeps the per-tile
+# transform transients ((tile, 128) f32 x6) at 1.5 MB
+MXU_TILE = 512
 # dense sweeps at or above this triangle count route to the MXU kernel;
 # below it the per-triangle fori_loop wins (measured: the Woop matmul
 # formulation pays ~fixed per-row-group matmul latency that tiny scenes
@@ -335,7 +338,7 @@ def build_woop_pack(scene_pack):
     the per-triangle scalar-broadcast fori sweep (~67 VPU ops/pair incl.
     the attribute select sweep) into MXU work + a ~17 op/pair epilogue.
 
-    Returns (gat, t_pad, tile):
+    Returns (gat, boxes, t_pad, tile):
       gat: (40, t_pad) f32 — rows 0:4/4:8/8:12 = the u/v/w woop rows
            [M_r | -M_r p0] stored TRANSPOSED (the sweep contracts them
            with (4, L) ray vectors via transposed dots — a dense layout;
@@ -343,6 +346,10 @@ def build_woop_pack(scene_pack):
            32x bloat and certain OOM past ~4k tris); rows 12:34 = scene
            table cols 9:31 (attributes). The winner's column is fetched
            per-ray by an exact one-hot f32 matmul.
+      boxes: (max(n_tiles, 8), 8) f32 — per-tile AABB [lo3 | hi3 | 0 0]
+           over the tile's non-degenerate triangles (sublane-axis layout
+           for in-kernel scalar reads). The sweep slab-tests each tile
+           and lax.cond-skips tiles no active lane can hit.
     All outputs are loop-invariant functions of the scene arrays, so XLA
     hoists their construction out of bounce loops."""
     t_n = scene_pack.shape[0]
@@ -373,7 +380,22 @@ def build_woop_pack(scene_pack):
         ],
         axis=0,
     )
-    return gat, t_pad, tile
+    # per-tile AABBs; degenerate rows (zero-padded / zero-area) must not
+    # contribute (their p0=0 corner would wrongly grow a tile's box)
+    valid = det > 1e-24
+    corners = jnp.stack([p0, p0 + e1, p0 + e2], axis=1)  # (T, 3, 3)
+    lo = jnp.where(valid[:, None], corners.min(axis=1), 1e30)
+    hi = jnp.where(valid[:, None], corners.max(axis=1), -1e30)
+    lo = jnp.pad(lo, pad, constant_values=1e30)
+    hi = jnp.pad(hi, pad, constant_values=-1e30)
+    n_tiles = t_pad // tile
+    boxes = jnp.zeros((max(n_tiles, 8), 8), jnp.float32)
+    boxes = boxes.at[:n_tiles, 0:3].set(lo.reshape(n_tiles, tile, 3).min(1))
+    boxes = boxes.at[:n_tiles, 3:6].set(hi.reshape(n_tiles, tile, 3).max(1))
+    if n_tiles < 8:  # pad tiles: empty boxes, slab test always misses
+        boxes = boxes.at[n_tiles:, 0:3].set(1e30)
+        boxes = boxes.at[n_tiles:, 3:6].set(-1e30)
+    return gat, boxes, t_pad, tile
 
 
 # ------------------------------------------------------------- kernel 1
@@ -541,19 +563,44 @@ def _mxu_rowdot(brows, aug):
     return jnp.sum(brows * aug, axis=0, keepdims=True)
 
 
-def _mxu_sweep_row(gat_r, tile, n_tiles, o_aug, d_aug, t_lo, t_hi, mode,
-                   prec=None):
+def _mxu_sweep_row(gat_r, box_r, tile, n_tiles, o_aug, d_aug, t_lo, t_hi,
+                   mode, prec=None, active=None):
     """Woop sweep of one 128-lane ray row against all triangle tiles,
     reading the transposed u/v/w woop rows from the dense gat table.
+    Each tile is slab-tested against its AABB (box_r) first and skipped
+    via lax.cond when no active lane can hit it — for coherent rows
+    (primaries, shadow rays toward one light, fully-missed rows) most
+    tiles never run (measured 1.4x at 962 tris on primaries).
 
     mode 'closest': returns (best_t (1,L), best_i (1,L) i32) with
     first-index tie-breaking (parity with the fori MT sweep's strict <).
     mode 'any': t_hi is a (1, L) per-lane max distance; returns occluded
-    (1, L) bool."""
+    (1, L) bool; exits early once every active lane is occluded."""
     f32 = jnp.float32
     big_i = jnp.int32(1 << 30)
+    o = (o_aug[0:1], o_aug[1:2], o_aug[2:3])
+    d = (d_aug[0:1], d_aug[1:2], d_aug[2:3])
+    inv = tuple(1.0 / jnp.where(c == 0.0, 1e-20, c) for c in d)
 
-    def tile_body(ti, carry):
+    def tile_need(ti, extra_mask):
+        t0 = tuple((box_r[ti, k] - o[k]) * inv[k] for k in range(3))
+        t1 = tuple((box_r[ti, 3 + k] - o[k]) * inv[k] for k in range(3))
+        tmin = jnp.maximum(
+            jnp.maximum(jnp.minimum(t0[0], t1[0]), jnp.minimum(t0[1], t1[1])),
+            jnp.maximum(jnp.minimum(t0[2], t1[2]), 0.0),
+        )
+        tmax = jnp.minimum(
+            jnp.minimum(jnp.maximum(t0[0], t1[0]), jnp.maximum(t0[1], t1[1])),
+            jnp.maximum(t0[2], t1[2]),
+        )
+        hit = tmin <= tmax
+        if active is not None:
+            hit = hit & active
+        if extra_mask is not None:
+            hit = hit & extra_mask
+        return jnp.any(hit)
+
+    def sweep_tile(ti, carry):
         ts = pl.ds(ti * tile, tile)
         bu = gat_r[0:4, ts]  # (4, tile)
         bv = gat_r[4:8, ts]
@@ -569,9 +616,10 @@ def _mxu_sweep_row(gat_r, tile, n_tiles, o_aug, d_aug, t_lo, t_hi, mode,
             & (tq > t_lo)
         )
         if mode == "any":
-            occ = carry
+            occ = carry  # (1, L) i32 — Mosaic can't legalize i1-vector
+            # results on scf.if, so the carry stays int
             hit = ok & (tq < t_hi)  # t_hi broadcasts (1, L)
-            return occ | jnp.any(hit, axis=0, keepdims=True)
+            return occ | jnp.any(hit, axis=0, keepdims=True).astype(jnp.int32)
         best_t, best_i = carry
         tm = jnp.where(ok, tq, 1e30)
         t_tile = jnp.min(tm, axis=0, keepdims=True)  # (1, L)
@@ -585,12 +633,40 @@ def _mxu_sweep_row(gat_r, tile, n_tiles, o_aug, d_aug, t_lo, t_hi, mode,
         )
 
     if mode == "any":
-        init = jnp.zeros((1, LANES), bool)
-    else:
-        init = (
-            jnp.full((1, LANES), 1e30, f32),
-            jnp.full((1, LANES), big_i, jnp.int32),
+        # while-loop: stop as soon as every active lane is occluded
+        def w_cond(state):
+            ti, occ = state
+            open_ = occ == 0 if active is None else (active & (occ == 0))
+            return (ti < n_tiles) & jnp.any(open_)
+
+        def w_body(state):
+            ti, occ = state
+            occ = jax.lax.cond(
+                tile_need(ti, occ == 0),
+                lambda c: sweep_tile(ti, c),
+                lambda c: c,
+                occ,
+            )
+            return ti + 1, occ
+
+        _, occ = jax.lax.while_loop(
+            w_cond, w_body, (jnp.int32(0), jnp.zeros((1, LANES), jnp.int32))
         )
+        return occ != 0
+
+    init = (
+        jnp.full((1, LANES), 1e30, f32),
+        jnp.full((1, LANES), big_i, jnp.int32),
+    )
+
+    def tile_body(ti, carry):
+        return jax.lax.cond(
+            tile_need(ti, None),
+            lambda c: sweep_tile(ti, c),
+            lambda c: c,
+            carry,
+        )
+
     return jax.lax.fori_loop(0, n_tiles, tile_body, init)
 
 
@@ -619,9 +695,9 @@ def _mxu_trace_kernel(t_pad: int, tile: int, prec: str, refs):
     """MXU kernel 1: Woop-transform sweep + one-hot attribute gather.
     Same inputs/outputs as _trace_interact_kernel (with the gat table in
     place of per-pair scene-table scalar reads)."""
-    gat_r = refs[0]
-    (ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, pdfp_r, act_r) = refs[1:9]
-    outs = refs[9:]
+    gat_r, box_r = refs[0], refs[1]
+    (ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, pdfp_r, act_r) = refs[2:10]
+    outs = refs[10:]
     n_tiles = t_pad // tile
     rows = ox_r.shape[0]
     f32 = jnp.float32
@@ -635,8 +711,8 @@ def _mxu_trace_kernel(t_pad: int, tile: int, prec: str, refs):
         o_aug = jnp.concatenate([*o, ones], axis=0)  # (4, L)
         d_aug = jnp.concatenate([*d, zeros], axis=0)
         best_t, best_i = _mxu_sweep_row(
-            gat_r, tile, n_tiles, o_aug, d_aug, 0.0, None, "closest",
-            prec=prec,
+            gat_r, box_r, tile, n_tiles, o_aug, d_aug, 0.0, None, "closest",
+            prec=prec, active=(act_r[sl, :] != 0),
         )
         miss = best_t >= 1e30
         prim = jnp.where(miss, 0, best_i)
@@ -686,6 +762,10 @@ def _shade_kernel(
     MXU."""
     scene_r = refs[0]  # (T_pad, 32) cols 0-8 tri p0/e1/e2; gat table if mxu
     idx = 1
+    box_r = None
+    if mxu is not None and not has_occ:
+        box_r = refs[1]  # per-tile AABBs for sweep culling
+        idx = 2
     (px_r, py_r, pz_r, nsx_r, nsy_r, nsz_r, ngx_r, ngy_r, ngz_r,
      dx_r, dy_r, dz_r, shade_r, m0_r, m1_r, m2_r, m3_r,
      br_r, bg_r, bb_r, depth_r, aer_r, aeg_r, aeb_r) = refs[idx : idx + 24]
@@ -754,8 +834,9 @@ def _shade_kernel(
                 [lwx_r[sl, :], lwy_r[sl, :], lwz_r[sl, :], zeros_r], axis=0
             )
             row = _mxu_sweep_row(
-                scene_r, tile, n_tiles, o_aug, d_aug, 1e-4, ldist_r[sl, :],
-                "any", prec=mxu_prec,
+                scene_r, box_r, tile, n_tiles, o_aug, d_aug, 1e-4,
+                ldist_r[sl, :], "any", prec=mxu_prec,
+                active=(shade_r[sl, :] != 0),
             )
             occ_scr[sl, :] = row.astype(jnp.int32)
             return 0
@@ -969,16 +1050,17 @@ def fused_trace_interact(scene_pack, n_tris, rays, interpret=False, woop=None):
         + [jax.ShapeDtypeStruct(_plane_shape(r), jnp.int32)]
     )
     if woop is not None:
-        gat_t, t_pad, tile = woop
+        gat_t, box_t, t_pad, tile = woop
         prec = "highest" if interpret else MXU_PRECISION
         outs = pl.pallas_call(
             lambda *refs: _mxu_trace_kernel(t_pad, tile, prec, refs),
             grid=grid,
-            in_specs=[_const_spec2(gat_t.shape)] + [_ray_spec()] * 8,
+            in_specs=[_const_spec2(gat_t.shape), _const_spec2(box_t.shape)]
+            + [_ray_spec()] * 8,
             out_specs=[_ray_spec()] * 16,
             out_shape=out_shape,
             interpret=interpret,
-        )(gat_t, *rays)
+        )(gat_t, box_t, *rays)
         return outs
     outs = pl.pallas_call(
         lambda *refs: _trace_interact_kernel(n_tris, refs),
@@ -1034,11 +1116,16 @@ def fused_shade(
     n_out = len(out_shape)
     if woop is not None:
         table = woop[0]  # the gat table; its rows 0:12 drive the occ sweep
-        mxu = (woop[1], woop[2], "highest" if interpret else MXU_PRECISION)
+        mxu = (woop[2], woop[3], "highest" if interpret else MXU_PRECISION)
     else:
         table, mxu = scene_pack, None
-    inputs = [table] + list(ray_planes) + list(nee_planes) + list(draw_planes)
-    in_specs = [_const_spec2(table.shape)] + [_ray_spec()] * 36
+    inputs = [table]
+    in_specs = [_const_spec2(table.shape)]
+    if mxu is not None and not has_occ:
+        inputs.append(woop[1])  # per-tile AABBs
+        in_specs.append(_const_spec2(woop[1].shape))
+    inputs += list(ray_planes) + list(nee_planes) + list(draw_planes)
+    in_specs += [_ray_spec()] * 36
     if has_occ:
         inputs.append(occ_in)
         in_specs.append(_ray_spec())
