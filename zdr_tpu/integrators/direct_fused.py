@@ -132,12 +132,13 @@ def _one_sample(data, material, camera, seed, cfg, setup, it, want_grad,
     (radr, radg, radb, bnr, bng, bnb, pdfb,
      nox, noy, noz, ndx, ndy, ndz, alive_i) = k2[:14]
     occ = k2[14] if want_grad else None
-    k1b = fused_trace_interact(
+    # the bounce emitter lookup only consumes add_emit + miss: the lite
+    # kernel skips the interaction epilogue and 12 plane writes
+    (b_aer, b_aeg, b_aeb, b_miss) = fused_trace_interact(
         scene_pack, meta.num_tris,
         (nox, noy, noz, ndx, ndy, ndz, pdfb, alive_i),
-        interpret=interp, woop=woop,
+        interpret=interp, woop=woop, lite=True,
     )
-    (b_aer, b_aeg, b_aeb, b_miss) = (k1b[12], k1b[13], k1b[14], k1b[15])
     if meta.n_env > 0:
         er, eg, eb = env_miss_add_planes(
             meta, tables, env_hw, (ndx, ndy, ndz), pdfb, b_miss != 0

@@ -325,10 +325,17 @@ MXU_MIN_TRIS = 256
 
 
 def _gat_rows():
-    return 40  # 12 woop rows + 22 attr rows + 6 pad (sublane multiple of 8)
+    # 12 woop rows + 4 pad + 32-row gather block (8-aligned at row 16):
+    #   16:25 p0/e1/e2, 25:32 [ng3 em3 inv_pdfc], 32:47 [uv0 du1 du2 n0
+    #   dn1 dn2], 47:48 pad. Emitter attrs lead so the lite (bounce
+    #   emitter-lookup) gather stops at row 32.
+    return 48
 
 
-def build_woop_pack(scene_pack):
+GAT_GATHER_LO = 16  # gather-block start row (8-aligned sublane slice)
+
+
+def build_woop_pack(scene_pack, tile=None):
     """Woop-transform tables for the MXU dense sweep.
 
     The ray-triangle test is an affine change of basis: with M = inv([e1 e2
@@ -339,13 +346,16 @@ def build_woop_pack(scene_pack):
     the attribute select sweep) into MXU work + a ~17 op/pair epilogue.
 
     Returns (gat, boxes, t_pad, tile):
-      gat: (40, t_pad) f32 — rows 0:4/4:8/8:12 = the u/v/w woop rows
+      gat: (48, t_pad) f32 — rows 0:4/4:8/8:12 = the u/v/w woop rows
            [M_r | -M_r p0] stored TRANSPOSED (the sweep contracts them
            with (4, L) ray vectors via transposed dots — a dense layout;
            a (3T, 4) minor-axis-4 table would pad to 128 lanes in VMEM,
-           32x bloat and certain OOM past ~4k tris); rows 12:34 = scene
-           table cols 9:31 (attributes). The winner's column is fetched
-           per-ray by an exact one-hot f32 matmul.
+           32x bloat and certain OOM past ~4k tris); rows 16:48 = the
+           winner-gather block (_gat_rows layout: tri verts, then
+           emitter attrs, then interaction attrs), fetched per-ray by a
+           one-hot bf16x2 matmul; the winner's t/u/v are re-derived by
+           exact f32 Möller-Trumbore on the VPU from the gathered
+           p0/e1/e2 (subtraction before products — no cancellation).
       boxes: (max(n_tiles, 8), 8) f32 — per-tile AABB [lo3 | hi3 | 0 0]
            over the tile's non-degenerate triangles (sublane-axis layout
            for in-kernel scalar reads). The sweep slab-tests each tile
@@ -367,16 +377,22 @@ def build_woop_pack(scene_pack):
         return jnp.concatenate([r, -jnp.sum(r * p0, axis=-1, keepdims=True)], axis=1)
 
     bu_, bv_, bw_ = aug(ru), aug(rv), aug(rw)
-    tile = min(MXU_TILE, -(-t_n // LANES) * LANES)
+    if tile is None:
+        tile = min(MXU_TILE, -(-t_n // LANES) * LANES)
     t_pad = -(-t_n // tile) * tile
     pad = ((0, t_pad - t_n), (0, 0))
     bu_, bv_, bw_ = (jnp.pad(a, pad) for a in (bu_, bv_, bw_))
-    attr = jnp.pad(scene_pack[:, 9:31], pad).T  # (22, t_pad)
+    verts = jnp.pad(scene_pack[:, 0:9], pad).T  # (9, t_pad) p0/e1/e2
+    emit = jnp.pad(scene_pack[:, 24:31], pad).T  # (7, t_pad) ng/em/pdfc
+    attr = jnp.pad(scene_pack[:, 9:24], pad).T  # (15, t_pad) uv/normals
     gat = jnp.concatenate(
         [
             jnp.concatenate([a.T for a in (bu_, bv_, bw_)], axis=0),  # (12, t_pad)
+            jnp.zeros((GAT_GATHER_LO - 12, t_pad), jnp.float32),
+            verts,
+            emit,
             attr,
-            jnp.zeros((_gat_rows() - 34, t_pad), jnp.float32),
+            jnp.zeros((_gat_rows() - GAT_GATHER_LO - 31, t_pad), jnp.float32),
         ],
         axis=0,
     )
@@ -507,7 +523,6 @@ def _trace_interact_kernel(n_tris: int, refs):
 # ---------------------------------------------------- kernel 1, MXU sweep
 
 
-_HP = jax.lax.Precision.HIGHEST  # one-hot gather matmuls must be exact
 # f32 passes (value pass-through); see MXU_PRECISION for the sweep.
 
 # Precision of the Woop sweep matmuls (o', d' tile products). The sweep
@@ -567,20 +582,29 @@ def _mxu_sweep_row(gat_r, box_r, tile, n_tiles, o_aug, d_aug, t_lo, t_hi,
                    mode, prec=None, active=None):
     """Woop sweep of one 128-lane ray row against all triangle tiles,
     reading the transposed u/v/w woop rows from the dense gat table.
-    Each tile is slab-tested against its AABB (box_r) first and skipped
-    via lax.cond when no active lane can hit it — for coherent rows
-    (primaries, shadow rays toward one light, fully-missed rows) most
-    tiles never run (measured 1.4x at 962 tris on primaries).
+    [o_aug | d_aug] are N-stacked into ONE rhs so each tile costs 3
+    comp-precision dot sets instead of 6. Each tile is slab-tested
+    against its AABB (box_r) first and skipped via lax.cond when no
+    active lane can hit it — for coherent rows (primaries, shadow rays
+    toward one light, fully-missed rows) most tiles never run.
 
-    mode 'closest': returns (best_t (1,L), best_i (1,L) i32) with
-    first-index tie-breaking (parity with the fori MT sweep's strict <).
+    mode 'closest': returns (miss (1,L) bool, prim (1,L) i32). The
+    per-tile argmin packs the within-tile index into the low 9 mantissa
+    bits of the order-preserving int32 bit pattern of t (positive-f32
+    bitcast is monotone), so ONE i32 min replaces the t-min / eq /
+    where-iota / idx-min chain. Tie-breaking stays first-index (lower
+    idx = lower key at equal truncated t; earlier tile wins via strict
+    <). t resolution drops to 2^-14 relative — the same order as the
+    comp sweep's own 1.6e-5 noise, and the winner's t is re-derived
+    exactly afterwards (_mxu_trace_kernel), so only near-coplanar
+    winner flips are affected.
     mode 'any': t_hi is a (1, L) per-lane max distance; returns occluded
     (1, L) bool; exits early once every active lane is occluded."""
-    f32 = jnp.float32
-    big_i = jnp.int32(1 << 30)
     o = (o_aug[0:1], o_aug[1:2], o_aug[2:3])
     d = (d_aug[0:1], d_aug[1:2], d_aug[2:3])
     inv = tuple(1.0 / jnp.where(c == 0.0, 1e-20, c) for c in d)
+    od = jnp.concatenate([o_aug, d_aug], axis=1)  # (4, 2N)
+    N = o_aug.shape[1]
 
     def tile_need(ti, extra_mask):
         t0 = tuple((box_r[ti, k] - o[k]) * inv[k] for k in range(3))
@@ -600,36 +624,41 @@ def _mxu_sweep_row(gat_r, box_r, tile, n_tiles, o_aug, d_aug, t_lo, t_hi,
             hit = hit & extra_mask
         return jnp.any(hit)
 
-    def sweep_tile(ti, carry):
+    big_i = jnp.int32(0x7F800000)  # +inf bit pattern: above every real key
+
+    def tile_uv_t(ti):
         ts = pl.ds(ti * tile, tile)
-        bu = gat_r[0:4, ts]  # (4, tile)
-        bv = gat_r[4:8, ts]
-        bw = gat_r[8:12, ts]
-        ou, du = _sweep_dot(bu, o_aug, prec), _sweep_dot(bu, d_aug, prec)
-        ov, dv = _sweep_dot(bv, o_aug, prec), _sweep_dot(bv, d_aug, prec)
-        ow, dw = _sweep_dot(bw, o_aug, prec), _sweep_dot(bw, d_aug, prec)
+        ouv = _sweep_dot(gat_r[0:4, ts], od, prec)  # (tile, 2N)
+        ovv = _sweep_dot(gat_r[4:8, ts], od, prec)
+        oww = _sweep_dot(gat_r[8:12, ts], od, prec)
+        ou, du = ouv[:, :N], ouv[:, N:]
+        ov, dv = ovv[:, :N], ovv[:, N:]
+        ow, dw = oww[:, :N], oww[:, N:]
         tq = -ow / dw  # inf/NaN on dw==0 lanes: rejected by the checks below
         u = ou + tq * du
         v = ov + tq * dv
         ok = (
             (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
-            & (tq > t_lo)
+            & (tq > t_lo) & (tq < 1e30)
         )
+        return ok, tq
+
+    def sweep_tile(ti, carry):
+        ok, tq = tile_uv_t(ti)
         if mode == "any":
-            occ = carry  # (1, L) i32 — Mosaic can't legalize i1-vector
+            occ = carry  # (1, N) i32 — Mosaic can't legalize i1-vector
             # results on scf.if, so the carry stays int
-            hit = ok & (tq < t_hi)  # t_hi broadcasts (1, L)
+            hit = ok & (tq < t_hi)  # t_hi broadcasts (1, N)
             return occ | jnp.any(hit, axis=0, keepdims=True).astype(jnp.int32)
-        best_t, best_i = carry
-        tm = jnp.where(ok, tq, 1e30)
-        t_tile = jnp.min(tm, axis=0, keepdims=True)  # (1, L)
-        idx = jax.lax.broadcasted_iota(jnp.int32, (tile, LANES), 0) + ti * tile
-        cand = jnp.where(ok & (tm == t_tile), idx, big_i)
-        i_tile = jnp.min(cand, axis=0, keepdims=True)
-        better = t_tile < best_t
+        best_key, best_tile = carry
+        t_bits = jax.lax.bitcast_convert_type(tq, jnp.int32)
+        idx = jax.lax.broadcasted_iota(jnp.int32, ok.shape, 0)
+        key = jnp.where(ok, (t_bits & jnp.int32(~0x1FF)) | idx, big_i)
+        kmin = jnp.min(key, axis=0, keepdims=True)  # (1, N)
+        better = kmin < best_key
         return (
-            jnp.where(better, t_tile, best_t),
-            jnp.where(better, i_tile, best_i),
+            jnp.where(better, kmin, best_key),
+            jnp.where(better, jnp.int32(ti), best_tile),
         )
 
     if mode == "any":
@@ -650,13 +679,13 @@ def _mxu_sweep_row(gat_r, box_r, tile, n_tiles, o_aug, d_aug, t_lo, t_hi,
             return ti + 1, occ
 
         _, occ = jax.lax.while_loop(
-            w_cond, w_body, (jnp.int32(0), jnp.zeros((1, LANES), jnp.int32))
+            w_cond, w_body, (jnp.int32(0), jnp.zeros((1, N), jnp.int32))
         )
         return occ != 0
 
     init = (
-        jnp.full((1, LANES), 1e30, f32),
-        jnp.full((1, LANES), big_i, jnp.int32),
+        jnp.full((1, N), big_i, jnp.int32),
+        jnp.zeros((1, N), jnp.int32),
     )
 
     def tile_body(ti, carry):
@@ -667,34 +696,81 @@ def _mxu_sweep_row(gat_r, box_r, tile, n_tiles, o_aug, d_aug, t_lo, t_hi,
             carry,
         )
 
-    return jax.lax.fori_loop(0, n_tiles, tile_body, init)
+    kmin, btile = jax.lax.fori_loop(0, n_tiles, tile_body, init)
+    miss = kmin == big_i
+    prim = jnp.where(miss, 0, btile * tile + (kmin & 0x1FF))
+    return miss, prim
 
 
-def _mxu_gather_row(gat_r, tile, n_tiles, prim, miss):
-    """Exact one-hot f32 gather of the winner's gat-table column -> (40, L).
-    prim: (1, L) i32 winning triangle ids (any value on miss lanes)."""
+def _mxu_gather_rows(gat_r, row_lo, row_hi, tile, n_tiles, prim, miss):
+    """One-hot gather of gat rows [row_lo:row_hi] of the winner's column
+    -> (row_hi - row_lo, N), as TWO DEFAULT-precision passes over a hi/lo
+    bf16 split of the values: the one-hot lhs is exact in bf16 and each
+    K-column contributes at most one nonzero, so the reconstruction error
+    is ~4e-6 relative (2nd-order bf16 rounding) — vs 6 HIGHEST passes for
+    bitwise f32. Exact-critical quantities (t/u/v) are NOT taken from
+    here; they're re-derived by f32 Möller-Trumbore on the gathered
+    p0/e1/e2 where the o - p0 recentering cancels the magnitude.
+    Tiles that contain no lane's winner are lax.cond-skipped."""
     f32 = jnp.float32
+    n_rows = row_hi - row_lo
+    N = prim.shape[1]
 
     def tile_body(ti, acc):
-        rel = prim - ti * tile  # (1, L)
-        ohi = jax.lax.broadcasted_iota(jnp.int32, (tile, LANES), 0)
-        oh = (ohi == rel).astype(f32)  # (tile, L)
-        gt = gat_r[:, pl.ds(ti * tile, tile)]  # (40, tile)
-        return acc + jax.lax.dot_general(
-            gt, oh, (((1,), (0,)), ((), ())), precision=_HP,
-            preferred_element_type=f32,
-        )
+        rel = prim - ti * tile  # (1, N)
+        ohi = jax.lax.broadcasted_iota(jnp.int32, (tile, N), 0)
+        oh = (ohi == rel).astype(f32)  # (tile, N)
+        gt = gat_r[row_lo:row_hi, pl.ds(ti * tile, tile)]
+        gh = gt.astype(jnp.bfloat16).astype(f32)
+        gl = gt - gh
 
-    gat = jax.lax.fori_loop(
-        0, n_tiles, tile_body, jnp.zeros((_gat_rows(), LANES), f32)
-    )
+        def dd(x):
+            return jax.lax.dot_general(
+                x, oh, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.DEFAULT,
+                preferred_element_type=f32,
+            )
+
+        return acc + dd(gh) + dd(gl)
+
+    def tile_need(ti):
+        return jnp.any((prim >= ti * tile) & (prim < (ti + 1) * tile) & ~miss)
+
+    def body(ti, acc):
+        return jax.lax.cond(tile_need(ti), lambda a: tile_body(ti, a),
+                            lambda a: a, acc)
+
+    gat = jax.lax.fori_loop(0, n_tiles, body, jnp.zeros((n_rows, N), f32))
     return jnp.where(miss, 0.0, gat)
 
 
-def _mxu_trace_kernel(t_pad: int, tile: int, prec: str, refs):
-    """MXU kernel 1: Woop-transform sweep + one-hot attribute gather.
-    Same inputs/outputs as _trace_interact_kernel (with the gat table in
-    place of per-pair scene-table scalar reads)."""
+def _mt_rederive(gat, o, d, miss):
+    """Exact f32 Möller-Trumbore of the winner: gat rows 0:9 are its
+    p0/e1/e2 (gather-block layout). The s = o - p0 recentering happens
+    BEFORE any product, so there is no large-magnitude cancellation —
+    this is the same arithmetic the fori sweep and the unfused
+    accel.trace path use. Returns (t, u, v)."""
+    p0 = (gat[0:1], gat[1:2], gat[2:3])
+    e1 = (gat[3:4], gat[4:5], gat[5:6])
+    e2 = (gat[6:7], gat[7:8], gat[8:9])
+    h = _vcross(d, e2)
+    a = _vdot(e1, h)
+    f = 1.0 / jnp.where(a == 0.0, 1.0, a)
+    s = _vsub(o, p0)
+    u = f * _vdot(s, h)
+    q = _vcross(s, e1)
+    v = f * _vdot(d, q)
+    t = f * _vdot(e2, q)
+    t = jnp.where(miss | (a == 0.0), 1.0, t)
+    return t, u, v
+
+
+def _mxu_trace_kernel(t_pad: int, tile: int, prec: str, lite: bool, refs):
+    """MXU kernel 1: Woop-transform sweep + one-hot winner gather + MT
+    re-derivation. Full mode: same outputs as _trace_interact_kernel.
+    Lite mode (the direct integrator's bounce emitter lookup): gathers
+    only p0/e1/e2 + the emitter block and writes 4 planes (add_emit3,
+    miss) — the only kernel-1 outputs that estimator consumes."""
     gat_r, box_r = refs[0], refs[1]
     (ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, pdfp_r, act_r) = refs[2:10]
     outs = refs[10:]
@@ -710,26 +786,51 @@ def _mxu_trace_kernel(t_pad: int, tile: int, prec: str, refs):
         d = (dx_r[sl, :], dy_r[sl, :], dz_r[sl, :])
         o_aug = jnp.concatenate([*o, ones], axis=0)  # (4, L)
         d_aug = jnp.concatenate([*d, zeros], axis=0)
-        best_t, best_i = _mxu_sweep_row(
+        active = act_r[sl, :] != 0
+        miss, prim = _mxu_sweep_row(
             gat_r, box_r, tile, n_tiles, o_aug, d_aug, 0.0, None, "closest",
-            prec=prec, active=(act_r[sl, :] != 0),
+            prec=prec, active=active,
         )
-        miss = best_t >= 1e30
-        prim = jnp.where(miss, 0, best_i)
-        gat = _mxu_gather_row(gat_r, tile, n_tiles, prim, miss)
-        # winner re-derivation from its exact woop rows (bitwise-identical
-        # inputs to the sweep's tile matmul on the winning row)
-        bw_u, bw_v, bw_w = gat[0:4], gat[4:8], gat[8:12]
-        ow = _mxu_rowdot(bw_w, o_aug)
-        dw = _mxu_rowdot(bw_w, d_aug)
-        t_win = jnp.where(miss, 1.0, -ow / jnp.where(dw == 0.0, 1.0, dw))
-        bu = _mxu_rowdot(bw_u, o_aug) + t_win * _mxu_rowdot(bw_u, d_aug)
-        bv = _mxu_rowdot(bw_v, o_aug) + t_win * _mxu_rowdot(bw_v, d_aug)
-        av = tuple(gat[12 + k : 13 + k] for k in range(22))
-        vals = _interact_epilogue(
-            o, d, pdfp_r[sl, :], act_r[sl, :] != 0,
-            jnp.where(miss, 1e30, t_win), bu, bv, miss, av,
+        gat = _mxu_gather_rows(
+            gat_r, GAT_GATHER_LO, _gat_rows(), tile, n_tiles, prim, miss
         )
+        t_win, bu, bv = _mt_rederive(gat, o, d, miss)
+        pdf_prev = pdfp_r[sl, :]
+        if lite:
+            # emitter-only epilogue (_interact_epilogue's add_emit branch
+            # exactly — incl. the shading-normal front test, direct.py:111)
+            ng = (gat[9:10], gat[10:11], gat[11:12])
+            emr, emg, emb = gat[12:13], gat[13:14], gat[14:15]
+            inv_pdfc = gat[15:16]
+            ns = _vnormalize((
+                gat[22:23] + bu * gat[25:26] + bv * gat[28:29],
+                gat[23:24] + bu * gat[26:27] + bv * gat[29:30],
+                gat[24:25] + bu * gat[27:28] + bv * gat[30:31],
+            ))
+            wo = _vscale(d, -1.0)
+            cos_light = -_vdot(ng, d)
+            frontfacing = (cos_light >= 1e-4) & (_vdot(wo, ns) >= 1e-4)
+            emissive = (emr > 0.0) | (emg > 0.0) | (emb > 0.0)
+            pdf_hit = t_win * t_win / jnp.maximum(inv_pdfc * cos_light, 1e-12)
+            mis_hit = pdf_prev / jnp.maximum(pdf_prev + pdf_hit, 1e-4)
+            on = active & ~miss & frontfacing & emissive
+            vals = (
+                jnp.where(on, mis_hit * emr, 0.0),
+                jnp.where(on, mis_hit * emg, 0.0),
+                jnp.where(on, mis_hit * emb, 0.0),
+                (active & miss).astype(jnp.int32),
+            )
+        else:
+            # gather-block attr order -> _interact_epilogue's av order
+            # (uv0 du1 du2 n0 dn1 dn2 | ng em inv_pdfc): attrs at block
+            # rows 16:31, emitter block at rows 9:16
+            av = tuple(gat[16 + k: 17 + k] for k in range(15)) + tuple(
+                gat[9 + k: 10 + k] for k in range(7)
+            )
+            vals = _interact_epilogue(
+                o, d, pdf_prev, active,
+                jnp.where(miss, 1e30, t_win), bu, bv, miss, av,
+            )
         for ref, val in zip(outs, vals):
             ref[sl, :] = val
         return 0
@@ -1035,29 +1136,42 @@ def _plane_shape(r):
     return (r, LANES)
 
 
-def fused_trace_interact(scene_pack, n_tris, rays, interpret=False, woop=None):
+def fused_trace_interact(scene_pack, n_tris, rays, interpret=False, woop=None,
+                         lite=False):
     """kernel 1. rays: 8 planes (ox,oy,oz,dx,dy,dz,pdf_prev f32, active i32).
     Returns 16 planes: p(3), uv(2), ns(3), ng(3), shade(i32), add_emit(3),
     miss(i32). `woop` = build_woop_pack(scene_pack) output routes to the
-    MXU sweep (big dense scenes); None keeps the per-triangle fori sweep."""
+    MXU sweep (big dense scenes); None keeps the per-triangle fori sweep.
+    lite=True (the direct integrator's bounce emitter lookup) returns only
+    4 planes (add_emit3, miss): on the MXU path the kernel skips the
+    interaction epilogue and 12 plane writes; the fori path computes the
+    full set and returns the 4 (small scenes are VPU-cheap anyway)."""
     r = rays[0].shape[0]
     grid = (r // BLOCK_ROWS,)
     f32 = jnp.float32
-    out_shape = (
-        [jax.ShapeDtypeStruct(_plane_shape(r), f32)] * 11
-        + [jax.ShapeDtypeStruct(_plane_shape(r), jnp.int32)]
-        + [jax.ShapeDtypeStruct(_plane_shape(r), f32)] * 3
-        + [jax.ShapeDtypeStruct(_plane_shape(r), jnp.int32)]
-    )
+    if lite and woop is not None:
+        out_shape = (
+            [jax.ShapeDtypeStruct(_plane_shape(r), f32)] * 3
+            + [jax.ShapeDtypeStruct(_plane_shape(r), jnp.int32)]
+        )
+        n_out = 4
+    else:
+        out_shape = (
+            [jax.ShapeDtypeStruct(_plane_shape(r), f32)] * 11
+            + [jax.ShapeDtypeStruct(_plane_shape(r), jnp.int32)]
+            + [jax.ShapeDtypeStruct(_plane_shape(r), f32)] * 3
+            + [jax.ShapeDtypeStruct(_plane_shape(r), jnp.int32)]
+        )
+        n_out = 16
     if woop is not None:
         gat_t, box_t, t_pad, tile = woop
         prec = "highest" if interpret else MXU_PRECISION
         outs = pl.pallas_call(
-            lambda *refs: _mxu_trace_kernel(t_pad, tile, prec, refs),
+            lambda *refs: _mxu_trace_kernel(t_pad, tile, prec, lite, refs),
             grid=grid,
             in_specs=[_const_spec2(gat_t.shape), _const_spec2(box_t.shape)]
             + [_ray_spec()] * 8,
-            out_specs=[_ray_spec()] * 16,
+            out_specs=[_ray_spec()] * n_out,
             out_shape=out_shape,
             interpret=interpret,
         )(gat_t, box_t, *rays)
@@ -1070,6 +1184,8 @@ def fused_trace_interact(scene_pack, n_tris, rays, interpret=False, woop=None):
         out_shape=out_shape,
         interpret=interpret,
     )(scene_pack, *rays)
+    if lite:
+        return outs[12], outs[13], outs[14], outs[15]
     return outs
 
 
