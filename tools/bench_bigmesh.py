@@ -52,6 +52,55 @@ def main():
         timeit(f"closest ({kind})", jax.jit(lambda o, d, a=acc: trace_closest(a, o, d).t), o, d)
         timeit(f"any ({kind})", jax.jit(lambda o, d, a=acc: trace_any(a, o, d, t_min=1e-4, t_max=3.0)), o, d)
 
+    # HBM-streamed MXU sweep (pallas_stream): the round-3 big-mesh path
+    from zdr_tpu.geometry.procedural import make_quad
+    from zdr_tpu.integrators import pallas_stream as ps
+    from zdr_tpu.integrators.pallas_bounce import (
+        LANES, build_fused_const, pad_to_planes, planes_rows,
+    )
+
+    lscene = Scene(
+        [(mesh, None, None), (make_quad(size=1.0, y=-2.0), None, 40.0)],
+        integrator="path",
+    )
+    lscene.camera = scene.camera
+    meta = lscene._data.fused_meta
+    scene_pack, _ = build_fused_const(lscene._data, meta)
+    pack = ps.build_stream_pack(scene_pack)
+    print(f"stream pack: t_pad={pack[2]} tile={pack[3]} chunk={pack[4]}",
+          flush=True)
+    rows = planes_rows(n)
+    op = tuple(pad_to_planes(o[:, k], rows) for k in range(3))
+    dp = tuple(pad_to_planes(d[:, k], rows) for k in range(3))
+    act = pad_to_planes(jnp.ones((n,), jnp.int32), rows)
+    thi = jnp.full((rows, LANES), 3.0, jnp.float32)
+    timeit("closest (streamed)",
+           jax.jit(lambda *r: ps.stream_closest(pack, r)[1]), *op, *dp, act)
+    timeit("any (streamed)",
+           jax.jit(lambda *r: ps.stream_any(pack, r)), *op, *dp, thi, act)
+
+    # render-level: unfused (BVH) vs streamed-fused path render, fwd + bwd
+    mat = jnp.full((256, 256, 4), 0.5, jnp.float32)
+
+    def render(scn):
+        return scn.render(mat, res=(256, 256), spp=4, seed=1)
+
+    def grad(scn):
+        return jax.grad(
+            lambda m: jnp.sum(
+                scn.render(m, res=(256, 256), spp=4, seed=1)[..., :3]
+            )
+        )(mat)
+
+    for fmode, tag in (("off", "unfused/bvh"), ("force", "streamed-fused")):
+        lscene.fused = fmode
+        try:
+            timeit(f"render 256^2x4 ({tag})", lambda: render(lscene), iters=2)
+            timeit(f"grad   256^2x4 ({tag})", lambda: grad(lscene), iters=2)
+        except Exception as e:
+            print(f"{tag} FAILED: {type(e).__name__}: {str(e)[:160]}",
+                  flush=True)
+
 
 if __name__ == "__main__":
     main()

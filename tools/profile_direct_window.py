@@ -68,7 +68,7 @@ def main():
     coords = _pixel_grid((512, 512))
     setup = df._setup(data, material, cfg, coords)
     (meta, scene_pack, tables, env_hw, packed, rows, pxp, pyp, real,
-     woop) = setup
+     woop, _stream) = setup
     h = w = 1024
     seed = jnp.asarray(1, jnp.int32)
     L = pb.LANES

@@ -73,9 +73,24 @@ def direct_fused_eligible(data: SceneData, cfg) -> bool:
 
 
 def _setup(data, material, cfg, coords):
+    from .pallas_bounce import FUSED_MAX_TRIS
+    from .pallas_stream import build_stream_pack
+
     meta = data.fused_meta
     scene_pack, light_pack = build_fused_const(data, meta)
-    woop = build_woop_pack(scene_pack) if meta.num_tris >= MXU_MIN_TRIS else None
+    if meta.num_tris > FUSED_MAX_TRIS:
+        # big mesh: HBM-streamed trace (pallas_stream); kernel 2 gets
+        # precomputed occlusion + a dummy scene slab
+        stream = build_stream_pack(scene_pack)
+        woop = None
+        scene_pack = scene_pack[:8]
+    else:
+        stream = None
+        woop = (
+            build_woop_pack(scene_pack)
+            if meta.num_tris >= MXU_MIN_TRIS
+            else None
+        )
     tables = build_glue_tables(data, meta, light_pack)
     env_hw = (data.env.texture.shape[0], data.env.texture.shape[1])
     packed = pack_quads(material, getattr(cfg, "texture_bf16", False))
@@ -84,14 +99,17 @@ def _setup(data, material, cfg, coords):
     pxp = pad_to_planes(coords[:, 0], rows)
     pyp = pad_to_planes(coords[:, 1], rows)
     real = pad_to_planes(jnp.ones((n_pix,), jnp.int32), rows)
-    return meta, scene_pack, tables, env_hw, packed, rows, pxp, pyp, real, woop
+    return (meta, scene_pack, tables, env_hw, packed, rows, pxp, pyp, real,
+            woop, stream)
 
 
 def _one_sample(data, material, camera, seed, cfg, setup, it, want_grad,
                 grad_extra=None):
     """Shared per-sample pipeline. Returns (radiance3, k2grad_outputs)."""
+    from .pallas_stream import stream_any, stream_trace_interact
+
     (meta, scene_pack, tables, env_hw, packed, rows, pxp, pyp, real,
-     woop) = setup
+     woop, stream) = setup
     h, w = material.shape[0], material.shape[1]
     interp = _interpret()
     sidx = jnp.zeros((rows, LANES), jnp.int32) + it
@@ -100,10 +118,15 @@ def _one_sample(data, material, camera, seed, cfg, setup, it, want_grad,
         cfg.use_tent_filter,
     )
     big = jnp.full((rows, LANES), 1e30, jnp.float32)
-    k1 = fused_trace_interact(
-        scene_pack, meta.num_tris, (*o, *d, big, real), interpret=interp,
-        woop=woop,
-    )
+    if stream is not None:
+        k1 = stream_trace_interact(
+            stream, (*o, *d, big, real), interpret=interp
+        )
+    else:
+        k1 = fused_trace_interact(
+            scene_pack, meta.num_tris, (*o, *d, big, real), interpret=interp,
+            woop=woop,
+        )
     (px, py, pz, ux, uy, nsx, nsy, nsz, ngx, ngy, ngz,
      shade, aer, aeg, aeb, miss_i) = k1
     mat_p = read_quads_planes(ux, uy, packed, h, w)
@@ -124,21 +147,33 @@ def _one_sample(data, material, camera, seed, cfg, setup, it, want_grad,
         *mat_p, onesf, onesf, onesf, zeros_i, aer, aeg, aeb,
     )
     nee_planes = (*wi_l, l_dist, l_pdf, *l_ev)
+    occ_s = None
+    if stream is not None:
+        occ_s = stream_any(
+            stream, (px, py, pz, *wi_l, l_dist, shade), interpret=interp
+        )
     # rr_depth=2 with depth plane 0 => no Russian roulette fires
     k2 = fused_shade(
         scene_pack, meta.num_tris, ray_planes, nee_planes, draws,
-        2, 16, h, w, interpret=interp, woop=woop, want_occ=want_grad,
+        2, 16, h, w, interpret=interp, woop=woop, occ_in=occ_s,
+        want_occ=want_grad and stream is None,
     )
     (radr, radg, radb, bnr, bng, bnb, pdfb,
      nox, noy, noz, ndx, ndy, ndz, alive_i) = k2[:14]
-    occ = k2[14] if want_grad else None
+    occ = occ_s if stream is not None else (k2[14] if want_grad else None)
     # the bounce emitter lookup only consumes add_emit + miss: the lite
     # kernel skips the interaction epilogue and 12 plane writes
-    (b_aer, b_aeg, b_aeb, b_miss) = fused_trace_interact(
-        scene_pack, meta.num_tris,
-        (nox, noy, noz, ndx, ndy, ndz, pdfb, alive_i),
-        interpret=interp, woop=woop, lite=True,
-    )
+    if stream is not None:
+        (b_aer, b_aeg, b_aeb, b_miss) = stream_trace_interact(
+            stream, (nox, noy, noz, ndx, ndy, ndz, pdfb, alive_i),
+            interpret=interp, lite=True,
+        )
+    else:
+        (b_aer, b_aeg, b_aeb, b_miss) = fused_trace_interact(
+            scene_pack, meta.num_tris,
+            (nox, noy, noz, ndx, ndy, ndz, pdfb, alive_i),
+            interpret=interp, woop=woop, lite=True,
+        )
     if meta.n_env > 0:
         er, eg, eb = env_miss_add_planes(
             meta, tables, env_hw, (ndx, ndy, ndz), pdfb, b_miss != 0

@@ -579,7 +579,7 @@ def _mxu_rowdot(brows, aug):
 
 
 def _mxu_sweep_row(gat_r, box_r, tile, n_tiles, o_aug, d_aug, t_lo, t_hi,
-                   mode, prec=None, active=None):
+                   mode, prec=None, active=None, raw=False):
     """Woop sweep of one 128-lane ray row against all triangle tiles,
     reading the transposed u/v/w woop rows from the dense gat table.
     [o_aug | d_aug] are N-stacked into ONE rhs so each tile costs 3
@@ -697,6 +697,10 @@ def _mxu_sweep_row(gat_r, box_r, tile, n_tiles, o_aug, d_aug, t_lo, t_hi,
         )
 
     kmin, btile = jax.lax.fori_loop(0, n_tiles, tile_body, init)
+    if raw:
+        # (packed key, winning tile) for callers that merge across calls
+        # (the HBM-streamed chunk sweep, pallas_stream.py)
+        return kmin, btile
     miss = kmin == big_i
     prim = jnp.where(miss, 0, btile * tile + (kmin & 0x1FF))
     return miss, prim

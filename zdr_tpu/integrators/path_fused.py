@@ -54,7 +54,7 @@ def _interpret() -> bool:
 
 
 def fused_eligible(data: SceneData, cfg) -> bool:
-    from .pallas_bounce import FUSED_MAX_TRIS
+    from .pallas_stream import STREAM_MAX_TRIS
 
     mode = getattr(cfg, "fused", "auto")
     if mode == "auto" or mode is True:
@@ -62,6 +62,7 @@ def fused_eligible(data: SceneData, cfg) -> bool:
     else:
         on = mode == "force"
     meta = data.fused_meta
+    # scenes past FUSED_MAX_TRIS stream the trace from HBM (pallas_stream)
     return (
         on
         and cfg.integrator == "path"
@@ -70,15 +71,30 @@ def fused_eligible(data: SceneData, cfg) -> bool:
         and cfg.sampler in FUSED_SAMPLERS
         and cfg.lanes_per_pixel <= 1
         and meta is not None
-        and meta.num_tris <= FUSED_MAX_TRIS
+        and meta.num_tris <= STREAM_MAX_TRIS
         and (meta.n_lights + meta.n_env + meta.n_point) >= 1
     )
 
 
 def _setup(data, material, cfg, coords, it_start):
+    from .pallas_bounce import FUSED_MAX_TRIS
+    from .pallas_stream import build_stream_pack
+
     meta = data.fused_meta
     scene_pack, light_pack = build_fused_const(data, meta)
-    woop = build_woop_pack(scene_pack) if meta.num_tris >= MXU_MIN_TRIS else None
+    if meta.num_tris > FUSED_MAX_TRIS:
+        # big mesh: HBM-streamed trace; kernel 2 receives precomputed
+        # occlusion and only a dummy scene slab (its sweep never runs)
+        stream = build_stream_pack(scene_pack)
+        woop = None
+        scene_pack = scene_pack[:8]
+    else:
+        stream = None
+        woop = (
+            build_woop_pack(scene_pack)
+            if meta.num_tris >= MXU_MIN_TRIS
+            else None
+        )
     tables = build_glue_tables(data, meta, light_pack)
     env_hw = (data.env.texture.shape[0], data.env.texture.shape[1])
     packed = pack_quads(material, getattr(cfg, "texture_bf16", False))
@@ -92,18 +108,22 @@ def _setup(data, material, cfg, coords, it_start):
     start_idx = jnp.zeros((rows, LANES), jnp.int32) + win_start
     stop_idx = jnp.where(real, win_start + win_count, win_start)
     return (meta, scene_pack, tables, env_hw, packed, rows, pxp, pyp,
-            start_idx, stop_idx, woop)
+            start_idx, stop_idx, woop, stream)
 
 
 def _bounce(data, meta, scene_pack, tables, env_hw, packed, cfg, s, lane_live,
-            smp, h, w, interp, want_rr=True, woop=None):
+            smp, h, w, interp, want_rr=True, woop=None, stream=None):
     """One fused bounce: k1 -> glue -> draws. Returns everything kernel 2
     needs plus the advanced sampler."""
-    k1 = fused_trace_interact(
-        scene_pack, meta.num_tris,
-        (*s["o"], *s["d"], s["pdf_prev"], lane_live.astype(jnp.int32)),
-        interpret=interp, woop=woop,
-    )
+    rays8 = (*s["o"], *s["d"], s["pdf_prev"], lane_live.astype(jnp.int32))
+    if stream is not None:
+        from .pallas_stream import stream_trace_interact
+
+        k1 = stream_trace_interact(stream, rays8, interpret=interp)
+    else:
+        k1 = fused_trace_interact(
+            scene_pack, meta.num_tris, rays8, interpret=interp, woop=woop,
+        )
     (px, py, pz, ux, uy, nsx, nsy, nsz, ngx, ngy, ngz,
      shade, aer, aeg, aeb, miss_i) = k1
     mat_p = read_quads_planes(ux, uy, packed, h, w)
@@ -125,12 +145,27 @@ def _bounce(data, meta, scene_pack, tables, env_hw, packed, cfg, s, lane_live,
     return ray_planes, nee_planes, draws, (ux, uy), smp
 
 
+def _stream_occ(stream, ray_planes, nee_planes, interp):
+    """Precomputed NEE occlusion for the streamed big-mesh path (kernel 2
+    then skips its own shadow sweep via occ_in). None when not streaming."""
+    if stream is None:
+        return None
+    from .pallas_stream import stream_any
+
+    p = ray_planes[0:3]
+    shade = ray_planes[12]
+    wi_l = nee_planes[0:3]
+    l_dist = nee_planes[3]
+    return stream_any(stream, (*p, *wi_l, l_dist, shade), interpret=interp)
+
+
 def render_path_fused(
     data: SceneData, material, camera, seed, cfg, coords, it_start=0
 ):
     """Fused forward: spp-averaged radiance -> (n_pix, 3)."""
     (meta, scene_pack, tables, env_hw, packed, rows, pxp, pyp,
-     start_idx, stop_idx, woop) = _setup(data, material, cfg, coords, it_start)
+     start_idx, stop_idx, woop, stream) = _setup(
+        data, material, cfg, coords, it_start)
     n_pix = coords.shape[0]
     h, w = material.shape[0], material.shape[1]
     md, rr_d = _depths(cfg)
@@ -163,11 +198,12 @@ def render_path_fused(
         lane_live = s["sample_idx"] < stop_idx
         ray_planes, nee_planes, draws, _uv, smp = _bounce(
             data, meta, scene_pack, tables, env_hw, packed, cfg, s,
-            lane_live, s["smp"], h, w, interp, woop=woop,
+            lane_live, s["smp"], h, w, interp, woop=woop, stream=stream,
         )
+        occ = _stream_occ(stream, ray_planes, nee_planes, interp)
         k2 = fused_shade(
             scene_pack, meta.num_tris, ray_planes, nee_planes, draws,
-            rr_d, md, h, w, interpret=interp, woop=woop,
+            rr_d, md, h, w, interpret=interp, woop=woop, occ_in=occ,
         )
         (radr, radg, radb, bnr, bng, bnb, pdfb,
          nox, noy, noz, ndx, ndy, ndz, alive_i) = k2
@@ -227,7 +263,8 @@ def render_path_backward_fused(
     the compacted/packed flush (texture.segment_scatter_add4) drains the
     (SB, 5, N) buffer."""
     (meta, scene_pack, tables, env_hw, packed, rows, pxp, pyp,
-     start_idx, stop_idx, woop) = _setup(data, material, cfg, coords, it_start)
+     start_idx, stop_idx, woop, stream) = _setup(
+        data, material, cfg, coords, it_start)
     n_pix = coords.shape[0]
     h, w = material.shape[0], material.shape[1]
     n_bins = h * w
@@ -287,8 +324,9 @@ def render_path_backward_fused(
         in_grad = lane_live & (s["phase"] == 1)
         (ray_planes, nee_planes, draws, (ux, uy), smp) = _bounce(
             data, meta, scene_pack, tables, env_hw, packed, cfg, s,
-            lane_live, s["smp"], h, w, interp, woop=woop,
+            lane_live, s["smp"], h, w, interp, woop=woop, stream=stream,
         )
+        occ = _stream_occ(stream, ray_planes, nee_planes, interp)
         # gok gates only the cotangents: zeroed le_grad kills them while the
         # le_rem bookkeeping still runs (path_persistent.py parity)
         glr = jnp.where(s["gok"], lgr, 0.0)
@@ -302,7 +340,7 @@ def render_path_backward_fused(
                 in_grad.astype(jnp.int32), *s["le_rem"], glr, glg, glb,
                 ux, uy, u_splat,
             ),
-            interpret=interp, woop=woop,
+            interpret=interp, woop=woop, occ_in=occ,
         )
         (radr, radg, radb, bnr, bng, bnb, pdfb,
          nox, noy, noz, ndx, ndy, ndz, alive_i,

@@ -42,14 +42,19 @@ MAX_INSTANCES = 10000  # reference render.py:114-115
 def _build_fused_meta(geom, light_insts, n_env: int = 0, n_point: int = 0):
     """Static light structure for the fused Pallas bounce path
     (integrators/pallas_bounce.FusedMeta); None when the scene is out of
-    the fused kernels' scope (too many triangles)."""
-    from .integrators.pallas_bounce import FUSED_MAX_TRIS, FusedMeta
+    the fused kernels' scope (past even the HBM-streamed trace's cap)."""
+    from .integrators.pallas_bounce import FusedMeta
+    from .integrators.pallas_stream import STREAM_MAX_TRIS
 
     n_tris = int(geom.num_triangles)
-    if n_tris > FUSED_MAX_TRIS:
+    if n_tris > STREAM_MAX_TRIS:
         return None
     offs = np.asarray(geom.inst_tri_offset)
     cnts = np.asarray(geom.inst_tri_count)
+    # emissive triangles become static metadata (glue light tables); a
+    # giant emissive mesh would blow up compile — decline the fused path
+    if light_insts and int(cnts[list(light_insts)].sum()) > 16384:
+        return None
     tri_ids = []
     offsets = []
     tcs = []
