@@ -109,3 +109,31 @@ class TestMosaicSmoke:
         s.fused = False
         img_u = np.asarray(s.render(MAT, res=(64, 64), spp=4, seed=3))
         np.testing.assert_allclose(img_f, img_u, atol=2e-3)
+
+    def test_streamed_bigmesh_on_tpu(self):
+        """Mosaic-compile the HBM-streamed trace (pallas_stream): a mesh
+        past FUSED_MAX_TRIS routes to the chunked grid kernels; image and
+        gradient must match the unfused BVH walk."""
+        from zdr_tpu.geometry.procedural import make_quad
+        from zdr_tpu.integrators.pallas_bounce import FUSED_MAX_TRIS
+
+        mesh = make_uv_sphere(0.5, n_lat=120, n_lon=120)
+        s = Scene(
+            [(mesh, None, None), (make_quad(size=1.0, y=-2.0), None, 40.0)],
+            integrator="direct",
+        )
+        assert s._data.fused_meta.num_tris > FUSED_MAX_TRIS
+        s.camera = Camera(
+            fov=0.8, origin=float3(1.5, 0.3, 0.0), target=float3(0, 0, 0)
+        )
+        s.fused = "force"
+        img_f = np.asarray(s.render(MAT, res=(64, 64), spp=2, seed=5))
+        g = jax.grad(
+            lambda m: jnp.sum(
+                s.render(m, res=(48, 48), spp=2, seed=5)[..., :3]
+            )
+        )(MAT)
+        s.fused = False
+        img_u = np.asarray(s.render(MAT, res=(64, 64), spp=2, seed=5))
+        assert float(jnp.abs(g).sum()) > 0
+        np.testing.assert_allclose(img_f, img_u, atol=2e-3)
