@@ -128,3 +128,80 @@ def test_stream_render_matches_unfused(sphere_scene):
     assert float(jnp.abs(g).sum()) > 0
     md = float(jnp.abs(img[..., :3] - ref[..., :3]).mean())
     assert md < 2e-3, md
+
+
+class TestAccelStream:
+    """accel.method == 'stream': the standalone trace API routed through
+    the streamed MXU sweep (the big-mesh default on accelerators)."""
+
+    @pytest.fixture(scope="class")
+    def accels(self):
+        from zdr_tpu.accel.build import build_accel
+        from zdr_tpu.geometry.mesh import build_geometry
+
+        geom = build_geometry([(make_uv_sphere(0.5, 16, 32), None)])
+        return (
+            build_accel(geom, method="stream"),
+            build_accel(geom, method="bruteforce"),
+        )
+
+    def _rays(self, n=4096, seed=5):
+        rs = np.random.RandomState(seed)
+        d = rs.randn(n, 3).astype(np.float32)
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        o = rs.randn(n, 3).astype(np.float32) * 0.8
+        return jnp.asarray(o), jnp.asarray(d)
+
+    def test_closest_matches_bruteforce(self, accels):
+        from zdr_tpu.accel.trace import trace_closest
+
+        acc_s, acc_b = accels
+        o, d = self._rays()
+        hs = trace_closest(acc_s, o, d)
+        hb = trace_closest(acc_b, o, d)
+        np.testing.assert_array_equal(np.asarray(hs.miss), np.asarray(hb.miss))
+        hit = ~np.asarray(hb.miss)
+        np.testing.assert_array_equal(
+            np.asarray(hs.prim)[hit], np.asarray(hb.prim)[hit]
+        )
+        np.testing.assert_allclose(
+            np.asarray(hs.t)[hit], np.asarray(hb.t)[hit], rtol=1e-5, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(hs.bary_u)[hit], np.asarray(hb.bary_u)[hit],
+            rtol=1e-4, atol=1e-5,
+        )
+
+    def test_any_matches_bruteforce(self, accels):
+        from zdr_tpu.accel.trace import trace_any
+
+        acc_s, acc_b = accels
+        o, d = self._rays(seed=9)
+        tmax = jnp.asarray(
+            np.random.RandomState(1).uniform(0.5, 3.0, o.shape[0]),
+            jnp.float32,
+        )
+        os_ = trace_any(acc_s, o, d, t_min=1e-4, t_max=tmax)
+        ob = trace_any(acc_b, o, d, t_min=1e-4, t_max=tmax)
+        np.testing.assert_array_equal(np.asarray(os_), np.asarray(ob))
+
+    def test_collocated_render_via_stream_accel(self):
+        """End-to-end: an unfused integrator (collocated) rendering through
+        a stream-method accel matches the bruteforce accel exactly (same
+        estimator; the trace is hit-identical)."""
+        from zdr_tpu import Camera, Scene, float3
+
+        mat = jnp.full((16, 16, 4), 0.5, jnp.float32)
+        imgs = []
+        for method in ("stream", "bruteforce"):
+            s = Scene(
+                [(make_uv_sphere(0.5, 16, 32), None, None)],
+                integrator="collocated",
+                accel=method,
+            )
+            s.camera = Camera(
+                fov=0.8, origin=float3(1.5, 0.3, 0.0),
+                target=float3(0.0, 0.0, 0.0),
+            )
+            imgs.append(np.asarray(s.render(mat, res=(24, 24), spp=2, seed=0)))
+        np.testing.assert_allclose(imgs[0], imgs[1], rtol=1e-5, atol=1e-6)

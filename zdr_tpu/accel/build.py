@@ -45,7 +45,10 @@ def build_accel(geom: Geometry, method: str = "auto", chunk: int = 0) -> Accel:
 
         on_cpu = jax.default_backend() == "cpu"
         if T > (AUTO_BVH_THRESHOLD_CPU if on_cpu else AUTO_BVH_THRESHOLD):
-            method = "bvh"
+            # on accelerators the HBM-streamed MXU sweep (pallas_stream)
+            # replaces tree traversal past the dense sweep's VMEM cap; the
+            # BVH remains the CPU big-mesh path and available explicitly
+            method = "bvh" if on_cpu else "stream"
         else:
             # dense sweep: pallas kernel on real accelerators (1.5x+ the jnp
             # brute force, measured); jnp on CPU (pallas interpret is slow)
@@ -60,6 +63,32 @@ def build_accel(geom: Geometry, method: str = "auto", chunk: int = 0) -> Accel:
     dummy3 = jnp.zeros((1, 3), jnp.float32)
     dummy1i = jnp.zeros((1,), jnp.int32)
     dummy1b = jnp.zeros((1,), bool)
+
+    if method == "stream":
+        from ..integrators.pallas_stream import build_stream_tris
+
+        p0j = jnp.asarray(v0)
+        e1j = jnp.asarray(v1 - v0)
+        e2j = jnp.asarray(v2 - v0)
+        gat, boxes, t_pad, tile, schunk, verts9, order = build_stream_tris(
+            p0j, e1j, e2j
+        )
+        return Accel(
+            p0=p0j,
+            e1=e1j,
+            e2=e2j,
+            tri_perm=jnp.arange(T, dtype=jnp.int32),
+            tri_inst=geom.tri_inst,
+            node_lo=dummy3,
+            node_hi=dummy3,
+            node_left=dummy1i,
+            node_right=dummy1i,
+            node_is_leaf=dummy1b,
+            stream_arrays=(gat, boxes, verts9, order),
+            stream_meta=(t_pad, tile, schunk),
+            method="stream",
+            chunk=chunk,
+        )
 
     if method in ("bruteforce", "pallas"):
         return Accel(

@@ -564,6 +564,13 @@ def trace_closest(accel: Accel, o: jnp.ndarray, d: jnp.ndarray, t_min=0.0, t_max
         best_t, u, v, prim = trace_closest_pallas(
             accel, o, d, t_min, t_max, interpret=jax.default_backend() == "cpu"
         )
+    elif accel.method == "stream":
+        from ..integrators.pallas_stream import stream_trace_closest
+
+        best_t, prim, u, v = stream_trace_closest(
+            accel.stream_pack, o, d, t_min, t_max,
+            interpret=jax.default_backend() == "cpu",
+        )
     else:
         best_t, prim, u, v = _brute_scan(accel, o, d, t_min, t_max, True)
     missed = prim < 0
@@ -592,5 +599,12 @@ def trace_any(accel: Accel, o: jnp.ndarray, d: jnp.ndarray, t_min=1e-4, t_max=1e
 
         return trace_any_pallas(
             accel, o, d, t_min, t_max, interpret=jax.default_backend() == "cpu"
+        )
+    if accel.method == "stream":
+        from ..integrators.pallas_stream import stream_trace_any
+
+        return stream_trace_any(
+            accel.stream_pack, o, d, t_min, t_max,
+            interpret=jax.default_backend() == "cpu",
         )
     return _brute_scan(accel, o, d, t_min, t_max, False)

@@ -58,6 +58,12 @@ class Accel:
     # bitcast(escape), bitcast(is_leaf ? tri_start+1 : 0)] — one row-gather
     # per node visit in the TPU traversal (bvh.to_stackless)
     node_packed: jnp.ndarray = None  # (M, 8) float32
+    # HBM-streamed MXU sweep tables (method == "stream"; pallas_stream):
+    # (gat, boxes, verts9, order) arrays + static (t_pad, tile, chunk)
+    stream_arrays: tuple = None
+    stream_meta: tuple = dataclasses.field(
+        metadata=dict(static=True), default=None
+    )
     method: str = dataclasses.field(metadata=dict(static=True), default="bruteforce")
     chunk: int = dataclasses.field(metadata=dict(static=True), default=256)
     # BVH traversal flavor (static, part of the jit key — replaces round-2's
@@ -72,3 +78,11 @@ class Accel:
     @property
     def num_triangles(self) -> int:
         return self.p0.shape[0]
+
+    @property
+    def stream_pack(self):
+        """(gat, boxes, t_pad, tile, chunk, verts9, order) — the tuple
+        pallas_stream's standalone wrappers consume."""
+        gat, boxes, verts9, order = self.stream_arrays
+        t_pad, tile, chunk = self.stream_meta
+        return gat, boxes, t_pad, tile, chunk, verts9, order

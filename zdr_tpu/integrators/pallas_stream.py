@@ -114,6 +114,7 @@ def build_stream_pack(scene_pack, chunk: int = STREAM_CHUNK, tile=None):
     gat, boxes, t_pad, tile = build_woop_pack(sorted_pack, tile=tile)
     # round t_pad up to a chunk multiple; padded triangles have all-zero
     # woop rows (dw == 0 -> rejected) and inverted AABBs (never slab-hit)
+    chunk = min(chunk, t_pad)  # small scenes: one chunk, no pad blowup
     t_full = -(-t_pad // chunk) * chunk
     if t_full != t_pad:
         gat = jnp.pad(gat, ((0, 0), (0, t_full - t_pad)))
@@ -135,7 +136,8 @@ def build_stream_pack(scene_pack, chunk: int = STREAM_CHUNK, tile=None):
 # ------------------------------------------------------------- kernels
 
 
-def _stream_closest_kernel(tile: int, chunk: int, prec: str, *refs):
+def _stream_closest_kernel(tile: int, chunk: int, prec: str, t_lo: float,
+                           *refs):
     """One (ray_block, chunk) grid step of the streamed closest sweep."""
     gat_r, box_r = refs[0], refs[1]
     (ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, act_r) = refs[2:9]
@@ -161,7 +163,7 @@ def _stream_closest_kernel(tile: int, chunk: int, prec: str, *refs):
             [dx_r[sl, :], dy_r[sl, :], dz_r[sl, :], zeros], axis=0
         )
         kmin, btile = _mxu_sweep_row(
-            gat_r, box_r, tile, tiles_per_chunk, o_aug, d_aug, 0.0, None,
+            gat_r, box_r, tile, tiles_per_chunk, o_aug, d_aug, t_lo, None,
             "closest", prec=prec, active=(act_r[sl, :] != 0), raw=True,
         )
         old_key = key_o[sl, :]
@@ -174,7 +176,7 @@ def _stream_closest_kernel(tile: int, chunk: int, prec: str, *refs):
     jax.lax.fori_loop(0, BLOCK_ROWS, row, 0)
 
 
-def _stream_any_kernel(tile: int, chunk: int, prec: str, *refs):
+def _stream_any_kernel(tile: int, chunk: int, prec: str, t_lo: float, *refs):
     """One (ray_block, chunk) grid step of the streamed occlusion sweep."""
     gat_r, box_r = refs[0], refs[1]
     (ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, thi_r, act_r) = refs[2:10]
@@ -207,7 +209,7 @@ def _stream_any_kernel(tile: int, chunk: int, prec: str, *refs):
                 )
                 occ = _mxu_sweep_row(
                     gat_r, box_r, tile, tiles_per_chunk, o_aug, d_aug,
-                    1e-4, thi_r[sl, :], "any", prec=prec, active=active,
+                    t_lo, thi_r[sl, :], "any", prec=prec, active=active,
                 )
                 return occ_prev | occ.astype(jnp.int32)
 
@@ -237,16 +239,18 @@ def _ray_spec2():
     )
 
 
-def stream_closest(stream_pack, rays7, interpret=False):
+def stream_closest(stream_pack, rays7, interpret=False, t_lo: float = 0.0):
     """Streamed closest-hit sweep. rays7: (ox,oy,oz,dx,dy,dz,active_i32)
     planes. Returns (miss bool plane, prim i32 plane) — prim indexes the
-    pack's Morton-sorted scene table."""
-    gat, boxes, t_pad, tile, chunk, _ = stream_pack
+    pack's Morton-sorted scene table. t_lo is a static float."""
+    gat, boxes, t_pad, tile, chunk = stream_pack[:5]
     r = rays7[0].shape[0]
     grid = (r // BLOCK_ROWS, t_pad // chunk)
     prec = "highest" if interpret else MXU_PRECISION
     key, prim = pl.pallas_call(
-        functools.partial(_stream_closest_kernel, tile, chunk, prec),
+        functools.partial(
+            _stream_closest_kernel, tile, chunk, prec, float(t_lo)
+        ),
         grid=grid,
         in_specs=[_gat_spec(chunk), _box_spec(chunk // tile)]
         + [_ray_spec2()] * 7,
@@ -257,16 +261,17 @@ def stream_closest(stream_pack, rays7, interpret=False):
     return key == _BIG_KEY, prim
 
 
-def stream_any(stream_pack, rays8, interpret=False):
+def stream_any(stream_pack, rays8, interpret=False, t_lo: float = 1e-4):
     """Streamed occlusion sweep. rays8: (ox,oy,oz,dx,dy,dz,t_hi,active_i32)
-    planes; t_min = 1e-4 (shadow-ray offset, path.py parity). Returns an
-    i32 occlusion plane suitable for fused_shade(occ_in=...)."""
-    gat, boxes, t_pad, tile, chunk, _ = stream_pack
+    planes; t_lo (static float) defaults to the shadow-ray offset 1e-4
+    (path.py parity). Returns an i32 occlusion plane suitable for
+    fused_shade(occ_in=...)."""
+    gat, boxes, t_pad, tile, chunk = stream_pack[:5]
     r = rays8[0].shape[0]
     grid = (r // BLOCK_ROWS, t_pad // chunk)
     prec = "highest" if interpret else MXU_PRECISION
     (occ,) = pl.pallas_call(
-        functools.partial(_stream_any_kernel, tile, chunk, prec),
+        functools.partial(_stream_any_kernel, tile, chunk, prec, float(t_lo)),
         grid=grid,
         in_specs=[_gat_spec(chunk), _box_spec(chunk // tile)]
         + [_ray_spec2()] * 8,
@@ -326,3 +331,117 @@ def stream_trace_interact(stream_pack, rays8, interpret=False, lite=False):
     if lite:
         return vals[12], vals[13], vals[14], vals[15]
     return vals
+
+
+# ------------------------------------------- standalone (accel) wrappers
+
+
+def build_stream_tris(p0, e1, e2, chunk: int = STREAM_CHUNK, tile=None):
+    """Geometry-only stream pack for the standalone accel trace
+    (accel.method == "stream"): same tables as build_stream_pack but from
+    bare (p0, e1, e2) with attribute columns zeroed.
+
+    Returns (gat, boxes, t_pad, tile, chunk, verts9, order):
+      verts9 (t_pad, 9) Morton-ordered p0/e1/e2 (winner MT re-derivation)
+      order  (t_pad,) i32 Morton index -> accel-order triangle index
+             (identity past the real count; compose with Accel.tri_perm
+             for global ids).
+    """
+    t_n = p0.shape[0]
+    scene_like = jnp.concatenate(
+        [p0, e1, e2, jnp.zeros((t_n, 23), jnp.float32)], axis=1
+    )
+    cent = p0 + (e1 + e2) / 3.0
+    lo = jnp.min(cent, axis=0)
+    span = jnp.maximum(jnp.max(cent, axis=0) - lo, 1e-20)
+    q = ((cent - lo) / span * 1023.0).astype(jnp.uint32)
+    order = jnp.argsort(_morton3(q)).astype(jnp.int32)
+    sorted_like = scene_like[order]
+    gat, boxes, t_pad, tile = build_woop_pack(sorted_like, tile=tile)
+    chunk = max(int(chunk), tile)
+    if chunk % tile:
+        chunk = -(-chunk // tile) * tile
+    chunk = min(chunk, t_pad)  # small scenes: one chunk, no pad blowup
+    t_full = -(-t_pad // chunk) * chunk
+    if t_full != t_pad:
+        gat = jnp.pad(gat, ((0, 0), (0, t_full - t_pad)))
+    n_tiles = t_full // tile
+    bpad = n_tiles - boxes.shape[0]
+    if bpad > 0:
+        empty = jnp.zeros((bpad, 8), jnp.float32)
+        empty = empty.at[:, 0:3].set(1e30).at[:, 3:6].set(-1e30)
+        boxes = jnp.concatenate([boxes, empty], axis=0)
+    else:
+        boxes = boxes[:n_tiles]
+    verts9 = jnp.pad(
+        sorted_like[:, 0:9], ((0, t_full - t_n), (0, 0))
+    )
+    order = jnp.concatenate(
+        [order, jnp.arange(t_n, t_full, dtype=jnp.int32)]
+    )
+    return gat, boxes, t_full, tile, chunk, verts9, order
+
+
+def _to_planes(cols3):
+    from .pallas_bounce import pad_to_planes, planes_rows
+
+    n = cols3.shape[0]
+    rows = planes_rows(n)
+    return tuple(pad_to_planes(cols3[:, k], rows) for k in range(3)), rows, n
+
+
+def stream_trace_closest(tri_pack, o, d, t_min=0.0, t_max=1e30,
+                         interpret=False):
+    """(N, 3) ray closest-hit through the streamed sweep. Returns
+    (t, prim_accel, u, v) with prim -1 on miss — accel.trace_closest's
+    internal contract (trace.py), with exact f32 MT re-derivation of the
+    winner. t_min must be a static float; t_max may be traced."""
+    from .pallas_bounce import pad_to_planes
+
+    op, rows, n = _to_planes(o)
+    dp, _, _ = _to_planes(d)
+    act = pad_to_planes(jnp.ones((n,), jnp.int32), rows)
+    miss, prim = stream_closest(
+        tri_pack, (*op, *dp, act), interpret=interpret, t_lo=float(t_min)
+    )
+    verts9, order = tri_pack[5], tri_pack[6]
+    shape = prim.shape
+    v = jnp.take(verts9, prim.reshape(-1), axis=0)
+    col = [
+        jnp.where(miss, 0.0, v[:, k].reshape(shape)) for k in range(9)
+    ]
+    dtup = dp
+    p0 = (col[0], col[1], col[2])
+    e1 = (col[3], col[4], col[5])
+    e2 = (col[6], col[7], col[8])
+    hh = _vcross(dtup, e2)
+    a = _vdot(e1, hh)
+    f = 1.0 / jnp.where(a == 0.0, 1.0, a)
+    s = _vsub(op, p0)
+    bu = f * _vdot(s, hh)
+    q = _vcross(s, e1)
+    bv = f * _vdot(dtup, q)
+    t = f * _vdot(e2, q)
+    bad = miss | (a == 0.0) | (t >= t_max)
+    t = jnp.where(bad, 1e30, t)
+    prim_acc = jnp.where(bad, -1, jnp.take(order, prim.reshape(-1)).reshape(shape))
+    flat = lambda x: x.reshape(-1)[:n]
+    return flat(t), flat(prim_acc), flat(bu), flat(bv)
+
+
+def stream_trace_any(tri_pack, o, d, t_min=1e-4, t_max=1e30,
+                     interpret=False):
+    """(N, 3) ray any-hit through the streamed occlusion sweep. t_min is a
+    static float; t_max may be scalar or per-ray (N,). Returns (N,) bool."""
+    from .pallas_bounce import pad_to_planes, planes_rows
+
+    op, rows, n = _to_planes(o)
+    dp, _, _ = _to_planes(d)
+    act = pad_to_planes(jnp.ones((n,), jnp.int32), rows)
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    thi = pad_to_planes(t_max, rows)
+    occ = stream_any(
+        tri_pack, (*op, *dp, thi, act), interpret=interpret,
+        t_lo=float(t_min),
+    )
+    return occ.reshape(-1)[:n] != 0
