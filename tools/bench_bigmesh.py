@@ -62,6 +62,7 @@ def main():
     lscene = Scene(
         [(mesh, None, None), (make_quad(size=1.0, y=-2.0), None, 40.0)],
         integrator="path",
+        accel="bvh",
     )
     lscene.camera = scene.camera
     meta = lscene._data.fused_meta
@@ -79,8 +80,15 @@ def main():
     timeit("any (streamed)",
            jax.jit(lambda *r: ps.stream_any(pack, r)), *op, *dp, thi, act)
 
-    # render-level: unfused (BVH) vs streamed-fused path render, fwd + bwd
+    # render-level: unfused BVH vs unfused stream-accel vs streamed-fused
     mat = jnp.full((256, 256, 4), 0.5, jnp.float32)
+
+    sscene = Scene(
+        [(mesh, None, None), (make_quad(size=1.0, y=-2.0), None, 40.0)],
+        integrator="path",
+        accel="stream",
+    )
+    sscene.camera = scene.camera
 
     def render(scn):
         return scn.render(mat, res=(256, 256), spp=4, seed=1)
@@ -92,11 +100,15 @@ def main():
             )
         )(mat)
 
-    for fmode, tag in (("off", "unfused/bvh"), ("force", "streamed-fused")):
-        lscene.fused = fmode
+    for scn, fmode, tag in (
+        (lscene, "off", "unfused/bvh"),
+        (sscene, "off", "unfused/stream-accel"),
+        (sscene, "force", "streamed-fused"),
+    ):
+        scn.fused = fmode
         try:
-            timeit(f"render 256^2x4 ({tag})", lambda: render(lscene), iters=2)
-            timeit(f"grad   256^2x4 ({tag})", lambda: grad(lscene), iters=2)
+            timeit(f"render 256^2x4 ({tag})", lambda: render(scn), iters=2)
+            timeit(f"grad   256^2x4 ({tag})", lambda: grad(scn), iters=2)
         except Exception as e:
             print(f"{tag} FAILED: {type(e).__name__}: {str(e)[:160]}",
                   flush=True)
