@@ -125,6 +125,49 @@ class TestShardedRender:
             scene.fused = "auto"
             scene.packed_splat = True
 
+    def test_streamed_sharded_matches_single_device(self, mesh):
+        """The HBM-streamed big-mesh trace under shard_map: per-device
+        chunked stream kernels + psum'd gradient == single-device, on a
+        sphere forced through the streamed route (tiny FUSED_MAX_TRIS)."""
+        from zdr_tpu.geometry.procedural import make_quad, make_uv_sphere
+        from zdr_tpu.integrators import pallas_bounce as pb
+
+        s = Scene(
+            [
+                (make_uv_sphere(0.5, 16, 32), None, None),
+                (make_quad(size=1.0, y=-2.0), None, 40.0),
+            ],
+            integrator="direct",
+        )
+        s.camera = Camera(
+            fov=0.8, origin=float3(1.5, 0.3, 0.0), target=float3(0, 0, 0)
+        )
+        s.fused = "force"
+        s.packed_splat = False
+        mat = jnp.full((8, 8, 4), 0.5)
+        old = pb.FUSED_MAX_TRIS
+        pb.FUSED_MAX_TRIS = 64
+        try:
+            sharded = render_sharded(s, mat, res=(16, 16), spp=2, seed=0, mesh=mesh)
+            single = s.render(mat, res=(16, 16), spp=2, seed=0)
+            np.testing.assert_allclose(
+                np.asarray(sharded), np.asarray(single), atol=1e-5
+            )
+
+            def loss_sharded(m):
+                img = render_sharded(s, m, res=(16, 16), spp=2, seed=0, mesh=mesh)
+                return jnp.sum(img[..., :3])
+
+            def loss_single(m):
+                return jnp.sum(s.render(m, res=(16, 16), spp=2, seed=0)[..., :3])
+
+            g8 = np.asarray(jax.grad(loss_sharded)(mat))
+            g1 = np.asarray(jax.grad(loss_single)(mat))
+            assert np.abs(g8).sum() > 0
+            np.testing.assert_allclose(g8, g1, rtol=1e-4, atol=1e-5)
+        finally:
+            pb.FUSED_MAX_TRIS = old
+
     def test_indivisible_pixels_raises(self, scene):
         mesh3 = make_mesh(3)
         mat = jnp.full((8, 8, 4), 0.5)
