@@ -128,3 +128,46 @@ class TestCompactedScatter:
         )
         scale = np.abs(ref).max()
         assert np.abs(out - ref).max() <= 0.01 * scale
+
+    def test_prepacked_matches_packed(self):
+        """prepacked=True (bf16 pairs packed at emission, 3-operand first
+        sort) agrees with the packed flush to the same bf16 error class,
+        including sentinel-masked entries and the overflow tail."""
+        from zdr_tpu.texture import pack_bf16_pair, segment_scatter_add4
+
+        rng = np.random.default_rng(11)
+        nb, m = 64, 400
+        ids = rng.integers(0, nb, m).astype(np.int32)
+        ids[rng.random(m) < 0.3] = nb  # sentinel-masked entries
+        chans = [rng.standard_normal(m).astype(np.float32) for _ in range(4)]
+        ref = self._ref(
+            np.where(ids == nb, 0, ids),
+            [np.where(ids == nb, 0, c) for c in chans],
+            nb,
+        )
+        j = [jnp.asarray(c) for c in chans]
+        out = np.asarray(
+            segment_scatter_add4(
+                jnp.asarray(ids),
+                [pack_bf16_pair(j[0], j[1]), pack_bf16_pair(j[2], j[3])],
+                nb,
+                packed=True,
+                prepacked=True,
+            )
+        )
+        scale = np.abs(ref).max()
+        assert np.abs(out - ref).max() <= 0.02 * scale
+        # overflow tail: all-distinct ids with k_compact below the uniques
+        ids2 = ((np.arange(m, dtype=np.int32) * 13) % nb).astype(np.int32)
+        ref2 = self._ref(ids2, chans, nb)
+        out2 = np.asarray(
+            segment_scatter_add4(
+                jnp.asarray(ids2),
+                [pack_bf16_pair(j[0], j[1]), pack_bf16_pair(j[2], j[3])],
+                nb,
+                k_compact=16,
+                packed=True,
+                prepacked=True,
+            )
+        )
+        assert np.abs(out2 - ref2).max() <= 0.02 * np.abs(ref2).max()

@@ -54,14 +54,15 @@ def main():
 
     real = tex.segment_scatter_add4
 
-    def stub(ids, chans, n_bins, k_compact=None, packed=True):
+    def stub(ids, chans, n_bins, k_compact=None, packed=True, prepacked=False):
         z = ids[:8].sum().astype(jnp.float32) * 0.0
         return jnp.zeros((4, n_bins), jnp.float32) + z
 
     from zdr_tpu.integrators import wrapper
 
+    # the fused flush goes through tex.flush_splat_buffer, which resolves
+    # segment_scatter_add4 as a texture-module global — one patch point
     tex.segment_scatter_add4 = stub
-    pf.segment_scatter_add4 = stub
     try:
         # build_render is lru_cached and jitted: without dropping both the
         # cache and the compiled programs, the stub never reaches the
@@ -74,7 +75,6 @@ def main():
               f"{(t_it-t_it2)/(t_it-t_fwd)*100:.0f}%", flush=True)
     finally:
         tex.segment_scatter_add4 = real
-        pf.segment_scatter_add4 = real
 
     for sb in (8, 16):
         old = pf.SCATTER_BATCH

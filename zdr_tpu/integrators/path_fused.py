@@ -23,7 +23,13 @@ import jax.numpy as jnp
 
 from ..scenedata import SceneData
 from ..samplers.hashes import lcg_to_unit_float
-from ..texture import cm_to_texture, pack_quads, segment_scatter_add4
+from ..texture import (
+    cm_to_texture,
+    flush_splat_buffer,
+    make_splat_buffer,
+    pack_quads,
+    splat_buffer_row,
+)
 from .fused_glue import (
     bounce_draws,
     build_glue_tables,
@@ -283,12 +289,7 @@ def render_path_backward_fused(
     )
     zeros = jnp.zeros((rows, LANES), jnp.float32)
     n_lanes = rows * LANES
-    sentinel_f = jax.lax.bitcast_convert_type(
-        jnp.full((1, n_lanes), n_bins, jnp.int32), jnp.float32
-    )
-    buf0 = jnp.concatenate(
-        [sentinel_f, jnp.zeros((4, n_lanes), jnp.float32)], axis=0
-    )[None].repeat(SCATTER_BATCH, axis=0)
+    buf0 = make_splat_buffer(SCATTER_BATCH, n_lanes, n_bins, cfg.packed_splat)
 
     init = dict(
         sample_idx=start_idx,
@@ -308,11 +309,7 @@ def render_path_backward_fused(
     )
 
     def flush(d_mat, buf):
-        ids = jax.lax.bitcast_convert_type(buf[:, 0, :], jnp.int32).reshape(-1)
-        chans = [buf[:, c + 1, :].reshape(-1) for c in range(4)]
-        return d_mat + segment_scatter_add4(
-            ids, chans, n_bins, packed=cfg.packed_splat
-        )
+        return flush_splat_buffer(d_mat, buf, n_bins, cfg.packed_splat)
 
     max_iters = 2 * (win_count + 1) * md + 2 * md
 
@@ -357,14 +354,7 @@ def render_path_backward_fused(
 
         # splat buffer write (ids already sentinel-masked in-kernel)
         slot = jnp.mod(s["it"], SCATTER_BATCH)
-        row = jnp.concatenate(
-            [
-                jax.lax.bitcast_convert_type(ids.reshape(1, -1), jnp.float32),
-                g0.reshape(1, -1), g1.reshape(1, -1),
-                g2.reshape(1, -1), g3.reshape(1, -1),
-            ],
-            axis=0,
-        )
+        row = splat_buffer_row(ids, g0, g1, g2, g3, cfg.packed_splat)
         buf = jax.lax.dynamic_update_index_in_dim(s["buf"], row, slot, 0)
         do_flush = slot == SCATTER_BATCH - 1
         d_mat = jax.lax.cond(

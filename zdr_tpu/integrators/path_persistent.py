@@ -177,7 +177,9 @@ def render_path_backward_persistent(
     from ..samplers.hashes import lcg_to_unit_float
     from ..texture import (
         cm_to_texture,
-        segment_scatter_add4,
+        flush_splat_buffer,
+        make_splat_buffer,
+        splat_buffer_row,
         stochastic_corner_ids,
         write_bsdf_grad,
     )
@@ -210,16 +212,7 @@ def render_path_backward_persistent(
     n_bins = material.shape[0] * material.shape[1]
     # masked/unused entries carry the sentinel id n_bins so the flush's
     # compaction collapses them into one dead segment (texture.py)
-    sentinel_f = jax.lax.bitcast_convert_type(
-        jnp.full((1, N), n_bins, jnp.int32), jnp.float32
-    )
-    # bounce-batched splat buffer, ONE array: row 0 = corner ids (bitcast
-    # f32), rows 1-4 = channel gradients. A single dynamic_update per bounce
-    # replaces the 5 separate buffer updates that measured ~25% of the
-    # backward (tools/profile_bwd.py)
-    buf0 = jnp.concatenate(
-        [sentinel_f, jnp.zeros((4, N), jnp.float32)], axis=0
-    )[None].repeat(SCATTER_BATCH, axis=0)  # (SB, 5, N)
+    buf0 = make_splat_buffer(SCATTER_BATCH, N, n_bins, cfg.packed_splat)
 
     init = dict(
         sample_idx=start_idx,
@@ -245,14 +238,7 @@ def render_path_backward_persistent(
     )
 
     def flush(d_mat, buf):
-        ids = jax.lax.bitcast_convert_type(
-            buf[:, 0, :], jnp.int32
-        ).reshape(-1)
-        chans = [buf[:, c + 1, :].reshape(-1) for c in range(4)]
-        add = segment_scatter_add4(
-            ids, chans, n_bins, packed=cfg.packed_splat
-        )
-        return d_mat + add
+        return flush_splat_buffer(d_mat, buf, n_bins, cfg.packed_splat)
 
     max_iters = 2 * (base + 1) * md + 2 * md
 
@@ -323,13 +309,9 @@ def render_path_backward_persistent(
             )
             ids = jnp.where(grad_on, ids, n_bins)  # sentinel: compacts away
             slot = jnp.mod(s["it"], SCATTER_BATCH)
-            row = jnp.concatenate(
-                [
-                    jax.lax.bitcast_convert_type(ids, jnp.float32)[None],
-                    jnp.stack(grads, axis=0),
-                ],
-                axis=0,
-            )  # (5, N)
+            row = splat_buffer_row(
+                ids, grads[0], grads[1], grads[2], grads[3], cfg.packed_splat
+            )
             buf = jax.lax.dynamic_update_index_in_dim(s["buf"], row, slot, 0)
             do_flush = slot == SCATTER_BATCH - 1
             d_mat = jax.lax.cond(
