@@ -191,6 +191,48 @@ class TestFusedDirect:
         img = s.render(MAT, res=(8, 8), spp=1, seed=0)
         assert bool(jnp.isfinite(img).all())
 
+    def test_merged_bounce_emit_matches_unfused(self):
+        """MXU scenes (>= MXU_MIN_TRIS tris, no env) run the merged
+        bounce_emit shade kernel — the bounce emitter lookup happens
+        in-kernel instead of in a separate lite kernel-1 pass, and the
+        backward shades once. Image AND gradient must match the unfused
+        direct estimator at the documented fused tolerance."""
+        from zdr_tpu.geometry.procedural import make_quad
+        from zdr_tpu.integrators.pallas_bounce import MXU_MIN_TRIS
+
+        s = Scene(
+            [
+                (make_uv_sphere(0.5, 16, 32), None, None),
+                (make_quad(size=1.2, y=-1.5), None, 25.0),
+            ],
+            integrator="direct",
+        )
+        s.camera = Camera(
+            fov=0.8, origin=float3(1.6, 0.2, 0.0), target=float3(0, 0, 0)
+        )
+        s.fused = "force"
+        assert s._data.fused_meta.num_tris >= MXU_MIN_TRIS
+        assert s._data.fused_meta.n_env == 0
+        i_f = np.asarray(s.render(MAT, res=(24, 24), spp=4, seed=1))
+        s.fused = False
+        i_u = np.asarray(s.render(MAT, res=(24, 24), spp=4, seed=1))
+        np.testing.assert_allclose(i_f, i_u, atol=2e-3)
+        assert np.abs(i_f - i_u).mean() < 1e-5
+
+        s.fused = "force"
+
+        def loss_f(m):
+            return jnp.sum(s.render(m, res=(24, 24), spp=8, seed=2)[..., :3])
+
+        g_f = np.asarray(jax.grad(loss_f)(MAT))
+        s.fused = False
+        g_u = np.asarray(jax.grad(loss_f)(MAT))
+        assert np.abs(g_f).sum() > 0
+        scale = np.abs(g_u).max()
+        # measured 1.9e-3 on CPU/HIGHEST: the documented epsilon deviations
+        # (NEE gate, offset-origin pdf) land near the shared 2e-3 class
+        np.testing.assert_allclose(g_f, g_u, atol=3e-3 * max(scale, 1.0))
+
 
 class TestFusedScopeRound3:
     """Round-3 widened fused envelope: envmaps, point lights and the table

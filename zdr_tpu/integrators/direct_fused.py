@@ -38,7 +38,13 @@ import jax.numpy as jnp
 
 from ..scenedata import SceneData
 from ..samplers.hashes import lcg_to_unit_float
-from ..texture import cm_to_texture, pack_quads, segment_scatter_add4
+from ..texture import (
+    cm_to_texture,
+    flush_splat_buffer,
+    make_splat_buffer,
+    pack_quads,
+    splat_buffer_row,
+)
 from .fused_glue import (
     bounce_draws,
     build_glue_tables,
@@ -147,6 +153,27 @@ def _one_sample(data, material, camera, seed, cfg, setup, it, want_grad,
         *mat_p, onesf, onesf, onesf, zeros_i, aer, aeg, aeb,
     )
     nee_planes = (*wi_l, l_dist, l_pdf, *l_ev)
+
+    # merged mode (MXU scenes, no envmap): ONE shade kernel computes the
+    # complete sample radiance (bounce emitter sweep in-kernel) and, in the
+    # backward, the gradient taps — replacing the k2f + k1b (+ k2g) chain
+    if woop is not None and meta.n_env == 0 and stream is None:
+        if not want_grad:
+            k2 = fused_shade(
+                scene_pack, meta.num_tris, ray_planes, nee_planes, draws,
+                2, 16, h, w, interpret=interp, woop=woop, bounce_emit=True,
+            )
+            return (k2[0], k2[1], k2[2]), None
+        lgr, lgg, lgb = grad_extra
+        u_splat = lcg_to_unit_float(smp.salt())
+        zf = jnp.zeros((rows, LANES), jnp.float32)
+        k2g = fused_shade(
+            scene_pack, meta.num_tris, ray_planes, nee_planes, draws,
+            2, 16, h, w,
+            grad_planes=(real, zf, zf, zf, lgr, lgg, lgb, ux, uy, u_splat),
+            interpret=interp, woop=woop, bounce_emit=True,
+        )
+        return (k2g[0], k2g[1], k2g[2]), k2g[14:22]
     occ_s = None
     if stream is not None:
         occ_s = stream_any(
@@ -238,19 +265,10 @@ def render_direct_backward_fused(
     lgg = pad_to_planes(le_grad[:, 1], rows)
     lgb = pad_to_planes(le_grad[:, 2], rows)
 
-    sentinel_f = jax.lax.bitcast_convert_type(
-        jnp.full((1, n_lanes), n_bins, jnp.int32), jnp.float32
-    )
-    buf0 = jnp.concatenate(
-        [sentinel_f, jnp.zeros((4, n_lanes), jnp.float32)], axis=0
-    )[None].repeat(SCATTER_BATCH, axis=0)
+    buf0 = make_splat_buffer(SCATTER_BATCH, n_lanes, n_bins, cfg.packed_splat)
 
     def flush(d_mat, buf):
-        ids = jax.lax.bitcast_convert_type(buf[:, 0, :], jnp.int32).reshape(-1)
-        chans = [buf[:, c + 1, :].reshape(-1) for c in range(4)]
-        return d_mat + segment_scatter_add4(
-            ids, chans, n_bins, packed=cfg.packed_splat
-        )
+        return flush_splat_buffer(d_mat, buf, n_bins, cfg.packed_splat)
 
     def one(carry, idx_it):
         d_mat, buf = carry
@@ -261,14 +279,7 @@ def render_direct_backward_fused(
         )
         _, _, _, g0, g1, g2, g3, ids = g
         slot = jnp.mod(slot_i, SCATTER_BATCH)
-        row = jnp.concatenate(
-            [
-                jax.lax.bitcast_convert_type(ids.reshape(1, -1), jnp.float32),
-                g0.reshape(1, -1), g1.reshape(1, -1),
-                g2.reshape(1, -1), g3.reshape(1, -1),
-            ],
-            axis=0,
-        )
+        row = splat_buffer_row(ids, g0, g1, g2, g3, cfg.packed_splat)
         buf = jax.lax.dynamic_update_index_in_dim(buf, row, slot, 0)
         do_flush = slot == SCATTER_BATCH - 1
         d_mat = jax.lax.cond(

@@ -769,6 +769,36 @@ def _mt_rederive(gat, o, d, miss):
     return t, u, v
 
 
+def _emitter_epilogue(gat, d, t_win, bu, bv, pdf_prev, active, miss):
+    """MIS-weighted emission of the sweep winner (the direct integrator's
+    bounce emitter lookup — _interact_epilogue's add_emit branch exactly,
+    incl. the shading-normal front test, reference direct.py:111). `gat`
+    is the gathered winner block (rows rel. GAT_GATHER_LO: 0:9 p0/e1/e2,
+    9:12 ng, 12:15 em, 15:16 inv_pdfc, 22:31 n0/dn1/dn2). Returns
+    (add_emit_r, add_emit_g, add_emit_b, miss_i32)."""
+    ng = (gat[9:10], gat[10:11], gat[11:12])
+    emr, emg, emb = gat[12:13], gat[13:14], gat[14:15]
+    inv_pdfc = gat[15:16]
+    ns = _vnormalize((
+        gat[22:23] + bu * gat[25:26] + bv * gat[28:29],
+        gat[23:24] + bu * gat[26:27] + bv * gat[29:30],
+        gat[24:25] + bu * gat[27:28] + bv * gat[30:31],
+    ))
+    wo = _vscale(d, -1.0)
+    cos_light = -_vdot(ng, d)
+    frontfacing = (cos_light >= 1e-4) & (_vdot(wo, ns) >= 1e-4)
+    emissive = (emr > 0.0) | (emg > 0.0) | (emb > 0.0)
+    pdf_hit = t_win * t_win / jnp.maximum(inv_pdfc * cos_light, 1e-12)
+    mis_hit = pdf_prev / jnp.maximum(pdf_prev + pdf_hit, 1e-4)
+    on = active & ~miss & frontfacing & emissive
+    return (
+        jnp.where(on, mis_hit * emr, 0.0),
+        jnp.where(on, mis_hit * emg, 0.0),
+        jnp.where(on, mis_hit * emb, 0.0),
+        (active & miss).astype(jnp.int32),
+    )
+
+
 def _mxu_trace_kernel(t_pad: int, tile: int, prec: str, lite: bool, refs):
     """MXU kernel 1: Woop-transform sweep + one-hot winner gather + MT
     re-derivation. Full mode: same outputs as _trace_interact_kernel.
@@ -801,28 +831,8 @@ def _mxu_trace_kernel(t_pad: int, tile: int, prec: str, lite: bool, refs):
         t_win, bu, bv = _mt_rederive(gat, o, d, miss)
         pdf_prev = pdfp_r[sl, :]
         if lite:
-            # emitter-only epilogue (_interact_epilogue's add_emit branch
-            # exactly — incl. the shading-normal front test, direct.py:111)
-            ng = (gat[9:10], gat[10:11], gat[11:12])
-            emr, emg, emb = gat[12:13], gat[13:14], gat[14:15]
-            inv_pdfc = gat[15:16]
-            ns = _vnormalize((
-                gat[22:23] + bu * gat[25:26] + bv * gat[28:29],
-                gat[23:24] + bu * gat[26:27] + bv * gat[29:30],
-                gat[24:25] + bu * gat[27:28] + bv * gat[30:31],
-            ))
-            wo = _vscale(d, -1.0)
-            cos_light = -_vdot(ng, d)
-            frontfacing = (cos_light >= 1e-4) & (_vdot(wo, ns) >= 1e-4)
-            emissive = (emr > 0.0) | (emg > 0.0) | (emb > 0.0)
-            pdf_hit = t_win * t_win / jnp.maximum(inv_pdfc * cos_light, 1e-12)
-            mis_hit = pdf_prev / jnp.maximum(pdf_prev + pdf_hit, 1e-4)
-            on = active & ~miss & frontfacing & emissive
-            vals = (
-                jnp.where(on, mis_hit * emr, 0.0),
-                jnp.where(on, mis_hit * emg, 0.0),
-                jnp.where(on, mis_hit * emb, 0.0),
-                (active & miss).astype(jnp.int32),
+            vals = _emitter_epilogue(
+                gat, d, t_win, bu, bv, pdf_prev, active, miss
             )
         else:
             # gather-block attr order -> _interact_epilogue's av order
@@ -856,6 +866,7 @@ def _shade_kernel(
     mxu=None,
     has_occ: bool = False,
     want_occ: bool = False,
+    bounce_emit: bool = False,
 ):
     """Shadow sweep + GGX shade/sample + RR (+ PRB gradient taps).
 
@@ -864,7 +875,16 @@ def _shade_kernel(
     already-selected NEE light sample (mesh, point or envmap — the kernel
     is agnostic), u_* are this bounce's uniform draws. With mxu=(t_pad,
     tile, prec), refs[0] is the gat table and the shadow sweep runs on the
-    MXU."""
+    MXU.
+
+    bounce_emit (the direct integrator's merged mode, no-env scenes only):
+    the bounce ray's MIS-weighted emitter lookup — a separate lite kernel-1
+    pass otherwise — runs in-kernel as a second closest-hit MXU sweep, so
+    the radiance outputs carry the COMPLETE direct-sample radiance and the
+    gradient taps compute their continuation adjoint (beta_next * emitter
+    radiance) without any le_rem input: one shade pass replaces the
+    forward-replay + emitter-trace + gradient-pass chain of the split
+    backward. Requires mxu and not has_occ/want_occ."""
     scene_r = refs[0]  # (T_pad, 32) cols 0-8 tri p0/e1/e2; gat table if mxu
     idx = 1
     box_r = None
@@ -886,8 +906,9 @@ def _shade_kernel(
         (ingrad_r, lrr_r, lrg_r, lrb_r, lgr_r, lgg_r, lgb_r,
          uvx_r, uvy_r, usplat_r) = refs[idx : idx + 10]
         idx += 10
-    has_scratch = mxu is not None and not has_occ
-    outs = refs[idx:-1] if has_scratch else refs[idx:]
+    n_scratch = (12 if bounce_emit else 1) if (mxu is not None and not has_occ) else 0
+    outs = refs[idx : len(refs) - n_scratch]
+    scr = refs[len(refs) - n_scratch :]
     (radr_o, radg_o, radb_o, bnr_o, bng_o, bnb_o, pdfb_o,
      nox_o, noy_o, noz_o, ndx_o, ndy_o, ndz_o, alive_o) = outs[:14]
     if want_grad:
@@ -927,7 +948,7 @@ def _shade_kernel(
         rows = px_r.shape[0]
         ones = jnp.ones((1, LANES), jnp.float32)
         zeros_r = jnp.zeros((1, LANES), jnp.float32)
-        occ_scr = refs[-1]  # (BLOCK_ROWS, LANES) i32 VMEM scratch: Mosaic
+        occ_scr = scr[0]  # (BLOCK_ROWS, LANES) i32 VMEM scratch: Mosaic
         # has no dynamic_update_slice on values, so rows accumulate in a ref
 
         def occ_group(g, _):
@@ -1019,6 +1040,53 @@ def _shade_kernel(
     path_alive = bounce_ok & ~dead & (depth + 1 < max_depth)
     beta_next = _vscale(beta_next, rr_scale)
 
+    # ---- merged bounce emitter lookup (direct integrator, no-env scenes):
+    # second closest-hit sweep over the bounce rays, in-kernel
+    bounce_add = None
+    if bounce_emit:
+        t_pad, tile, mxu_prec = mxu
+        n_tiles = t_pad // tile
+        rows = px_r.shape[0]
+        ones_b = jnp.ones((1, LANES), jnp.float32)
+        zeros_b = jnp.zeros((1, LANES), jnp.float32)
+        (sno_x, sno_y, sno_z, swi_x, swi_y, swi_z, spdfb, sact,
+         sbe_r, sbe_g, sbe_b) = scr[1:]
+        sno_x[:] = next_o[0]
+        sno_y[:] = next_o[1]
+        sno_z[:] = next_o[2]
+        swi_x[:] = wi[0]
+        swi_y[:] = wi[1]
+        swi_z[:] = wi[2]
+        spdfb[:] = pdf_bounce
+        sact[:] = path_alive.astype(jnp.int32)
+
+        def be_group(g, _):
+            sl = pl.ds(g, 1)
+            o_row = (sno_x[sl, :], sno_y[sl, :], sno_z[sl, :])
+            d_row = (swi_x[sl, :], swi_y[sl, :], swi_z[sl, :])
+            act = sact[sl, :] != 0
+            o_aug = jnp.concatenate([*o_row, ones_b], axis=0)
+            d_aug = jnp.concatenate([*d_row, zeros_b], axis=0)
+            b_miss, prim = _mxu_sweep_row(
+                scene_r, box_r, tile, n_tiles, o_aug, d_aug, 0.0, None,
+                "closest", prec=mxu_prec, active=act,
+            )
+            gat = _mxu_gather_rows(
+                scene_r, GAT_GATHER_LO, _gat_rows(), tile, n_tiles, prim,
+                b_miss,
+            )
+            t_win, bu, bv = _mt_rederive(gat, o_row, d_row, b_miss)
+            er, eg, eb, _m = _emitter_epilogue(
+                gat, d_row, t_win, bu, bv, spdfb[sl, :], act, b_miss
+            )
+            sbe_r[sl, :] = er
+            sbe_g[sl, :] = eg
+            sbe_b[sl, :] = eb
+            return 0
+
+        jax.lax.fori_loop(0, rows, be_group, 0)
+        bounce_add = (sbe_r[:], sbe_g[:], sbe_b[:])
+
     # ---- radiance delta: beta * (add_emit + nee_ok * nee_contrib)
     nw = nee_weight
     nee_r = b_nee[0] * nw * l_eval[0]
@@ -1028,6 +1096,12 @@ def _shade_kernel(
     radr_o[:] = beta[0] * (add_emit[0] + jnp.where(nok, nee_r, 0.0))
     radg_o[:] = beta[1] * (add_emit[1] + jnp.where(nok, nee_g, 0.0))
     radb_o[:] = beta[2] * (add_emit[2] + jnp.where(nok, nee_b, 0.0))
+    if bounce_emit:
+        # complete direct-sample radiance: the bounce term lands here
+        # instead of in a separate emitter-lookup pass
+        radr_o[:] = radr_o[:] + beta_next[0] * bounce_add[0]
+        radg_o[:] = radg_o[:] + beta_next[1] * bounce_add[1]
+        radb_o[:] = radb_o[:] + beta_next[2] * bounce_add[2]
 
     bnr_o[:] = beta_next[0]
     bng_o[:] = beta_next[1]
@@ -1045,16 +1119,23 @@ def _shade_kernel(
 
     if want_grad:
         in_grad = ingrad_r[:] != 0
-        le_rem = (lrr_r[:], lrg_r[:], lrb_r[:])
         le_grad = (lgr_r[:], lgg_r[:], lgb_r[:])
-        # subtract this vertex's local contributions from the remaining-path
-        # radiance (path_persistent.py phase-1 bookkeeping)
-        sub_r = beta[0] * (add_emit[0] + jnp.where(nok, nee_r, 0.0))
-        sub_g = beta[1] * (add_emit[1] + jnp.where(nok, nee_g, 0.0))
-        sub_b = beta[2] * (add_emit[2] + jnp.where(nok, nee_b, 0.0))
-        ler = le_rem[0] - jnp.where(in_grad, sub_r, 0.0)
-        leg = le_rem[1] - jnp.where(in_grad, sub_g, 0.0)
-        leb = le_rem[2] - jnp.where(in_grad, sub_b, 0.0)
+        if bounce_emit:
+            # merged mode: the remaining-path radiance IS the bounce term
+            # the in-kernel emitter sweep just computed — no le_rem input
+            ler = beta_next[0] * bounce_add[0]
+            leg = beta_next[1] * bounce_add[1]
+            leb = beta_next[2] * bounce_add[2]
+        else:
+            le_rem = (lrr_r[:], lrg_r[:], lrb_r[:])
+            # subtract this vertex's local contributions from the
+            # remaining-path radiance (path_persistent phase-1 bookkeeping)
+            sub_r = beta[0] * (add_emit[0] + jnp.where(nok, nee_r, 0.0))
+            sub_g = beta[1] * (add_emit[1] + jnp.where(nok, nee_g, 0.0))
+            sub_b = beta[2] * (add_emit[2] + jnp.where(nok, nee_b, 0.0))
+            ler = le_rem[0] - jnp.where(in_grad, sub_r, 0.0)
+            leg = le_rem[1] - jnp.where(in_grad, sub_g, 0.0)
+            leb = le_rem[2] - jnp.where(in_grad, sub_b, 0.0)
         lsr_o[:] = ler
         lsg_o[:] = leg
         lsb_o[:] = leb
@@ -1208,6 +1289,7 @@ def fused_shade(
     woop=None,
     occ_in=None,
     want_occ=False,
+    bounce_emit=False,
 ):
     """kernel 2. ray_planes: 24 planes (p3, ns3, ng3, d3, shade i32, mat4,
     beta3, depth i32, add_emit3). nee_planes: 8 (wi_l3, dist, pdf, eval3 —
@@ -1218,11 +1300,16 @@ def fused_shade(
     (le_rem_next3, g0..g3, splat ids i32) [+ 1 occluded i32 plane if
     want_occ]. `woop` (build_woop_pack output) runs the shadow sweep on
     the MXU. `occ_in` (an i32 plane from a want_occ call over the SAME
-    rays/NEE sample) skips the shadow sweep entirely."""
+    rays/NEE sample) skips the shadow sweep entirely. `bounce_emit` (MXU
+    only, no occ passthrough) merges the bounce emitter lookup in-kernel:
+    the radiance outputs carry the complete direct-sample radiance and the
+    gradient taps need no le_rem input (see _shade_kernel)."""
     r = ray_planes[0].shape[0]
     grid = (r // BLOCK_ROWS,)
     want_grad = grad_planes is not None
     has_occ = occ_in is not None
+    if bounce_emit:
+        assert woop is not None and not has_occ and not want_occ
     f32 = jnp.float32
     out_shape = [jax.ShapeDtypeStruct(_plane_shape(r), f32)] * 13 + [
         jax.ShapeDtypeStruct(_plane_shape(r), jnp.int32)
@@ -1257,10 +1344,15 @@ def fused_shade(
         if (mxu is not None and not has_occ)
         else []
     )
+    if bounce_emit:
+        # bounce ray planes (o3, d3, pdf), active i32, emitter result (3)
+        scratch += [pltpu.VMEM((BLOCK_ROWS, LANES), jnp.float32)] * 7
+        scratch += [pltpu.VMEM((BLOCK_ROWS, LANES), jnp.int32)]
+        scratch += [pltpu.VMEM((BLOCK_ROWS, LANES), jnp.float32)] * 3
     outs = pl.pallas_call(
         functools.partial(
             _kernel2_entry, n_tris, rr_depth, max_depth, tex_h, tex_w,
-            want_grad, mxu, has_occ, want_occ,
+            want_grad, mxu, has_occ, want_occ, bounce_emit,
         ),
         grid=grid,
         in_specs=in_specs,
@@ -1273,9 +1365,9 @@ def fused_shade(
 
 
 def _kernel2_entry(t, rr_depth, max_depth, tex_h, tex_w, want_grad, mxu,
-                   has_occ, want_occ, *refs):
+                   has_occ, want_occ, bounce_emit, *refs):
     _shade_kernel(t, rr_depth, max_depth, tex_h, tex_w, want_grad, refs, mxu,
-                  has_occ, want_occ)
+                  has_occ, want_occ, bounce_emit)
 
 
 def _const_spec2(shape):
