@@ -234,6 +234,83 @@ class TestFusedDirect:
         np.testing.assert_allclose(g_f, g_u, atol=3e-3 * max(scale, 1.0))
 
 
+class TestFusedCollocated:
+    """Collocated integrator on fused kernel 1 (integrators/
+    collocated_fused.py): one fused trace, elementwise XLA shade, shared
+    splat-buffer backward. Light-free scenes only (kernel 1's shade mask
+    skips emissive hits; collocated shades them)."""
+
+    def _scene(self, sampler="lcg"):
+        from zdr_tpu.geometry.procedural import make_uv_sphere
+
+        s = Scene(
+            [(make_uv_sphere(0.5, 12, 24), None, None)],
+            integrator="collocated",
+            sampler=sampler,
+        )
+        s.camera = Camera(
+            fov=0.8, origin=float3(1.6, 0.2, 0.0), target=float3(0, 0, 0)
+        )
+        s.fused = "force"
+        return s
+
+    def test_eligibility(self):
+        from zdr_tpu.integrators.collocated_fused import (
+            collocated_fused_eligible,
+        )
+
+        s = self._scene()
+        assert collocated_fused_eligible(s._data, s._config((8, 8), 1))
+        # a scene with mesh lights is out of scope (shade-mask parity)
+        lit = _cbox()
+        lit.integrator = "collocated"
+        assert not collocated_fused_eligible(
+            lit._data, lit._config((8, 8), 1)
+        )
+
+    @pytest.mark.parametrize("sampler", ["lcg", "pmj02bn"])
+    def test_forward_matches_unfused(self, sampler):
+        s = self._scene(sampler)
+        i_f = np.asarray(s.render(MAT, res=(24, 20), spp=3, seed=2))
+        s.fused = False
+        i_u = np.asarray(s.render(MAT, res=(24, 20), spp=3, seed=2))
+        np.testing.assert_allclose(i_f, i_u, atol=2e-4)
+
+    def test_grad_matches_unfused(self):
+        # the unfused collocated backward splats in f32 (segment_scatter_add)
+        # while the fused one shares the bf16-pair packed flush with path/
+        # direct; compare exactly with packing off, loosely at the default
+        s = self._scene()
+        s.packed_splat = False
+
+        def loss(m):
+            return jnp.sum(s.render(m, res=(16, 16), spp=4, seed=1)[..., :3])
+
+        g_f = np.asarray(jax.grad(loss)(MAT))
+        s.fused = False
+        g_u = np.asarray(jax.grad(loss)(MAT))
+        scale = np.abs(g_u).max()
+        assert scale > 0
+        assert np.abs(g_f - g_u).max() <= 1e-4 * scale
+
+        s.fused = "force"
+        s.packed_splat = True
+        g_p = np.asarray(jax.grad(loss)(MAT))
+        # bf16 payload quantization: ~2^-9 relative per splat entry
+        assert np.abs(g_p - g_u).max() <= 5e-3 * max(scale, 1.0)
+
+    def test_spp_windows_match(self):
+        s = self._scene()
+        old = type(s).max_spp_per_call
+        type(s).max_spp_per_call = 4
+        try:
+            img_w = np.asarray(s.render(MAT, res=(12, 12), spp=10, seed=0))
+        finally:
+            type(s).max_spp_per_call = old
+        img_1 = np.asarray(s.render(MAT, res=(12, 12), spp=10, seed=0))
+        np.testing.assert_allclose(img_w, img_1, atol=2e-5)
+
+
 class TestFusedScopeRound3:
     """Round-3 widened fused envelope: envmaps, point lights and the table
     samplers (pmj02bn / corrmj) all run through the glue-based pipeline and

@@ -142,6 +142,17 @@ def render_forward_rays(
                 data, material, camera, seed, cfg, coords, it_start
             )
 
+    if cfg.integrator == "collocated":
+        from .collocated_fused import (
+            collocated_fused_eligible,
+            render_collocated_fused,
+        )
+
+        if cfg.bilinear and material.shape[0] >= 2 and material.shape[1] >= 2 and collocated_fused_eligible(data, cfg):
+            return render_collocated_fused(
+                data, material, camera, seed, cfg, coords, it_start
+            )
+
     start, count = it_start, cfg.window_count
 
     def one_sample(acc, it):
@@ -213,6 +224,17 @@ def render_grad_rays(
 
         if cfg.bilinear and material.shape[0] >= 2 and material.shape[1] >= 2 and direct_fused_eligible(data, cfg):
             return render_direct_backward_fused(
+                data, material, camera, seed, cfg, coords, le_grad, it_start
+            )
+
+    if cfg.integrator == "collocated":
+        from .collocated_fused import (
+            collocated_fused_eligible,
+            render_collocated_backward_fused,
+        )
+
+        if cfg.bilinear and material.shape[0] >= 2 and material.shape[1] >= 2 and collocated_fused_eligible(data, cfg):
+            return render_collocated_backward_fused(
                 data, material, camera, seed, cfg, coords, le_grad, it_start
             )
 
