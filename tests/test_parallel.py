@@ -168,6 +168,40 @@ class TestShardedRender:
         finally:
             pb.FUSED_MAX_TRIS = old
 
+    def test_fused_collocated_sharded_matches_single_device(self, mesh):
+        """The fused collocated route (integrators/collocated_fused.py)
+        under shard_map: trace-only kernel 1 + XLA shade must compose with
+        the sharding machinery like the other fused integrators."""
+        from zdr_tpu.geometry.procedural import make_uv_sphere
+
+        s = Scene(
+            [(make_uv_sphere(0.5, 12, 24), None, None)],
+            integrator="collocated",
+        )
+        s.camera = Camera(
+            fov=0.8, origin=float3(1.6, 0.2, 0.0), target=float3(0, 0, 0)
+        )
+        s.fused = "force"
+        s.packed_splat = False  # exact splats: see gradient test above
+        mat = jnp.full((8, 8, 4), 0.5)
+        sharded = render_sharded(s, mat, res=(16, 16), spp=2, seed=0, mesh=mesh)
+        single = s.render(mat, res=(16, 16), spp=2, seed=0)
+        np.testing.assert_allclose(
+            np.asarray(sharded), np.asarray(single), atol=1e-5
+        )
+
+        def loss_sharded(m):
+            img = render_sharded(s, m, res=(16, 16), spp=2, seed=0, mesh=mesh)
+            return jnp.sum(img[..., :3])
+
+        def loss_single(m):
+            return jnp.sum(s.render(m, res=(16, 16), spp=2, seed=0)[..., :3])
+
+        g8 = np.asarray(jax.grad(loss_sharded)(mat))
+        g1 = np.asarray(jax.grad(loss_single)(mat))
+        assert np.abs(g8).sum() > 0
+        np.testing.assert_allclose(g8, g1, rtol=1e-4, atol=1e-5)
+
     def test_indivisible_pixels_raises(self, scene):
         mesh3 = make_mesh(3)
         mat = jnp.full((8, 8, 4), 0.5)
