@@ -71,11 +71,19 @@ def build_lightstage(n_lights: int = 30, emission: float = 50.0) -> Scene:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true")
+    ap.add_argument(
+        "--batched",
+        action="store_true",
+        help="shard the light patterns over the device mesh "
+        "(parallel.render_batch): every iteration renders ALL patterns, "
+        "one per device group, and steps on the joint loss",
+    )
+    ap.add_argument("--iters", type=int, default=None)
     args = ap.parse_args()
     n_lights = 10 if args.small else 30
     res = (48, 48) if args.small else (512, 512)
     spp = 16 if args.small else 256
-    iters = 20 if args.small else 200
+    iters = args.iters if args.iters else (20 if args.small else 200)
 
     scene = build_lightstage(n_lights)
     scene.camera = Camera(
@@ -90,24 +98,66 @@ def main():
     material_gt = jax.random.uniform(key, (tex, tex, 4), minval=0.2, maxval=0.8)
 
     # GT views: one render per light pattern (update_lights switching,
-    # render.py:130-148 workflow)
+    # render.py:130-148 workflow). "Off" lights keep an epsilon emission so
+    # the light STRUCTURE (which instances emit) is identical across
+    # patterns: the fused kernels' light table is static per compiled
+    # program, and render_batch shares one structure for the whole batch —
+    # this makes --batched bit-match the sequential update_lights loop.
+    # (Display parity: the reference shows any non-first instance by its
+    # emission — an off light reads black there too.)
+    OFF = 1e-6
     patterns = []
     n_pat = 4 if args.small else 8
     rng = np.random.RandomState(0)
     for p in range(n_pat):
         on = rng.choice(n_lights, max(n_lights // 4, 1), replace=False)
-        em = [None] + [50.0 if i in on else None for i in range(n_lights)]
+        em = [None] + [50.0 if i in on else OFF for i in range(n_lights)]
         patterns.append(em)
 
-    targets = []
-    for p, em in enumerate(patterns):
-        scene.update_lights(em)
-        tgt = scene.render(material_gt, res=res, spp=spp, seed=p)
-        targets.append(tgt)
-        m = float(tgt[..., :3].mean())
-        print(f"pattern {p}: mean {m:.4f}")
-        assert m > 1e-4, "light pattern renders black — lights misconfigured"
-    targets = jnp.stack(targets)
+    mesh = None
+    if args.batched:
+        # the multi-view/multi-light DCN story (SURVEY §5): every pattern
+        # renders concurrently, batch sharded over the device mesh, with
+        # the gradient summed across views by the batched vjp
+        from zdr_tpu.parallel import make_mesh, render_batch
+
+        n_dev = len(jax.devices())
+        fit = max(d for d in range(1, min(n_dev, n_pat) + 1) if n_pat % d == 0)
+        mesh = make_mesh(fit)
+        print(f"batched mode: {n_pat} patterns over a {fit}-device mesh")
+
+    def render_all(m, seed0):
+        """(n_pat, H, W, 4) — one frame per pattern, batched or sequential
+        (identical per-view sampling either way up to the seed policy)."""
+        if mesh is not None:
+            return render_batch(
+                scene, m, scene.camera, patterns, res=res, spp=spp,
+                seed=seed0, mesh=mesh,
+            )
+        outs = []
+        for p, em in enumerate(patterns):
+            scene.update_lights(em)
+            outs.append(
+                scene.render(m, res=res, spp=spp, seed=seed0 + 7919 * p)
+            )
+        return jnp.stack(outs)
+
+    if args.batched:
+        targets = render_all(material_gt, 0)
+        for p in range(n_pat):
+            m = float(targets[p, ..., :3].mean())
+            print(f"pattern {p}: mean {m:.4f}")
+            assert m > 1e-4, "light pattern renders black — lights misconfigured"
+    else:
+        targets = []
+        for p, em in enumerate(patterns):
+            scene.update_lights(em)
+            tgt = scene.render(material_gt, res=res, spp=spp, seed=p)
+            targets.append(tgt)
+            m = float(tgt[..., :3].mean())
+            print(f"pattern {p}: mean {m:.4f}")
+            assert m > 1e-4, "light pattern renders black — lights misconfigured"
+        targets = jnp.stack(targets)
 
     # joint recovery across patterns
     material = jnp.full((tex, tex, 4), 0.5, jnp.float32)
@@ -115,34 +165,50 @@ def main():
     opt_state = opt.init(material)
     losses = []
     for it in range(iters):
-        p = it % n_pat
-        scene.update_lights(patterns[p])
+        if args.batched:
+            # all patterns per step: the loss/grad average over the batch
+            def loss_fn(m):
+                imgs = render_all(m, 100 + it * 104729)
+                return jnp.sum((imgs - targets) ** 2) / n_pat
 
-        def loss_fn(m):
-            img = scene.render(m, res=res, spp=spp, seed=100 + it)
-            return jnp.sum((img - targets[p]) ** 2)
+            loss, g = jax.value_and_grad(loss_fn)(material)
+            tag = "all"
+        else:
+            p = it % n_pat
+            scene.update_lights(patterns[p])
 
-        loss, g = jax.value_and_grad(loss_fn)(material)
+            def loss_fn(m):
+                img = scene.render(m, res=res, spp=spp, seed=100 + it)
+                return jnp.sum((img - targets[p]) ** 2)
+
+            loss, g = jax.value_and_grad(loss_fn)(material)
+            tag = str(p)
         updates, opt_state = opt.update(g, opt_state)
         material = optax.apply_updates(material, updates)
         material = jnp.clip(material, 1e-3, 1.0)
         losses.append(float(loss))
         if it % max(iters // 10, 1) == 0:
-            print(f"iter {it:3d} pattern {p} loss {float(loss):.6f}")
+            print(f"iter {it:3d} pattern {tag} loss {float(loss):.6f}")
 
     err = float(jnp.abs(material - material_gt).mean())
+    err_diffuse = float(jnp.abs(material - material_gt)[..., :3].mean())
+    err0_diffuse = float(jnp.abs(0.5 - material_gt)[..., :3].mean())
     first = float(np.mean(losses[:n_pat]))
     last = float(np.mean(losses[-n_pat:]))
     # MC noise floor of the loss: rendering the TRUE material against the
     # (noisy, other-seed) targets. With low-discrepancy sampling (pmj02bn
     # default) the floor dominates small CI-sized losses, so convergence
     # must be judged on the excess above it, not the raw ratio.
-    floors = []
-    for p, em in enumerate(patterns):
-        scene.update_lights(em)
-        img = scene.render(material_gt, res=res, spp=spp, seed=5000 + p)
-        floors.append(float(jnp.sum((img - targets[p]) ** 2)))
-    floor = float(np.mean(floors))
+    if args.batched:
+        imgs = render_all(material_gt, 5000 * 104729)
+        floor = float(jnp.sum((imgs - targets) ** 2)) / n_pat
+    else:
+        floors = []
+        for p, em in enumerate(patterns):
+            scene.update_lights(em)
+            img = scene.render(material_gt, res=res, spp=spp, seed=5000 + p)
+            floors.append(float(jnp.sum((img - targets[p]) ** 2)))
+        floor = float(np.mean(floors))
     print(
         f"loss {first:.4f} -> {last:.4f} (noise floor {floor:.4f})  "
         f"mean |tex err| {err:.4f}"
@@ -152,6 +218,8 @@ def main():
         "loss_last": last,
         "noise_floor": floor,
         "tex_err": err,
+        "tex_err_diffuse": err_diffuse,
+        "tex_err0_diffuse": err0_diffuse,
     }
 
 

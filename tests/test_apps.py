@@ -42,3 +42,64 @@ class TestLightstage:
         excess_last = r["loss_last"] - r["noise_floor"]
         assert excess_first > 0, r
         assert excess_last < 0.8 * excess_first, r
+
+    def test_batched_matches_sequential_lightstage(self):
+        """The app's epsilon-off pattern policy makes render_batch bit-match
+        the sequential update_lights loop on the lightstage scene (direct
+        integrator, many instances, ON/OFF light patterns). With None-off
+        patterns the two modes legitimately diverge: update_lights rebuilds
+        the light STRUCTURE per view while the batch shares one static
+        structure (build_render_batched docstring)."""
+        import jax
+        import jax.numpy as jnp
+
+        import lightstage
+        from zdr_tpu import Camera, float3
+        from zdr_tpu.parallel import make_mesh, render_batch
+
+        scene = lightstage.build_lightstage(6)
+        scene.camera = Camera(
+            fov=0.87, origin=float3(0, 0.5, 2), target=float3(0, 0, 0)
+        )
+        gt = jax.random.uniform(jax.random.PRNGKey(5), (16, 16, 4),
+                                minval=0.2, maxval=0.8)
+        res, spp = (16, 16), 2
+        patterns = [
+            [None] + [50.0 if i % 2 == g else 1e-6 for i in range(6)]
+            for g in range(2)
+        ]
+        batched = render_batch(
+            scene, gt, scene.camera, patterns, res=res, spp=spp, seed=11,
+            mesh=make_mesh(2),
+        )
+        import numpy as np
+
+        for p, em in enumerate(patterns):
+            scene.update_lights(em)
+            single = scene.render(gt, res=res, spp=spp, seed=11 + 7919 * p)
+            np.testing.assert_allclose(
+                np.asarray(batched[p]), np.asarray(single), atol=1e-6,
+                err_msg=f"view {p}",
+            )
+
+    def test_batched_mode_smoke(self, monkeypatch):
+        """--batched: all patterns render per step through
+        parallel.render_batch over the CPU mesh. At CI sizes the joint loss
+        is MC-noise-dominated (measured: batched grad vs (m0-GT) diffuse
+        cosine +0.09 — right sign, weak signal), so this is a plumbing
+        smoke with a no-divergence gate; batched==sequential equivalence is
+        gated bit-tight in test_parallel.py::TestBatchedViews."""
+        monkeypatch.setattr(
+            sys, "argv", ["lightstage.py", "--small", "--batched", "--iters", "6"]
+        )
+        import importlib
+
+        import lightstage
+
+        importlib.reload(lightstage)
+        r = lightstage.main()
+        assert r["loss_first"] > 0 and r["noise_floor"] > 0, r
+        # joint steps must not blow up: the loss stays in the noise band
+        assert r["loss_last"] < 1.5 * r["noise_floor"], r
+        # the optimizer actually moved the material, and not unboundedly
+        assert 1e-4 < r["tex_err"] < 0.5, r
