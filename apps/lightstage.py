@@ -98,14 +98,19 @@ def main():
     material_gt = jax.random.uniform(key, (tex, tex, 4), minval=0.2, maxval=0.8)
 
     # GT views: one render per light pattern (update_lights switching,
-    # render.py:130-148 workflow). "Off" lights keep an epsilon emission so
-    # the light STRUCTURE (which instances emit) is identical across
-    # patterns: the fused kernels' light table is static per compiled
-    # program, and render_batch shares one structure for the whole batch —
-    # this makes --batched bit-match the sequential update_lights loop.
-    # (Display parity: the reference shows any non-first instance by its
-    # emission — an off light reads black there too.)
-    OFF = 1e-6
+    # render.py:130-148 workflow). Off-light policy differs by mode:
+    # - sequential: None — update_lights STRUCTURALLY removes the light
+    #   (the reference workflow; NEE only samples the on-lights)
+    # - batched: epsilon emission — render_batch shares ONE static light
+    #   structure for the whole batch (the fused kernels' light table is
+    #   compile-time static), so off lights stay in the table at ~zero
+    #   value. Display parity: the reference shows any non-first instance
+    #   by its emission, so an off light reads black there too. With
+    #   matching eps patterns the two modes are bit-identical
+    #   (tests/test_apps.py parity test); with None-off they legitimately
+    #   differ in NEE sampling (pdf spans all table lights) and off-quad
+    #   display (emission-black vs surface-shaded).
+    OFF = 1e-6 if args.batched else None
     patterns = []
     n_pat = 4 if args.small else 8
     rng = np.random.RandomState(0)
