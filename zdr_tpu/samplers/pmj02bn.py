@@ -115,25 +115,34 @@ def _vdc_u32(v: jnp.ndarray) -> jnp.ndarray:
     return v
 
 
-def _sobol2_u32(idx: jnp.ndarray) -> jnp.ndarray:
-    """Second Sobol' dimension, 32 unrolled conditional xors."""
+def _sobol2_u32(idx: jnp.ndarray, n_bits: int = 32) -> jnp.ndarray:
+    """Second Sobol' dimension, unrolled conditional xors. Callers whose
+    index is bounded below 2**n_bits can drop the dead high-bit terms
+    (bitwise identical: those bits are always zero)."""
     out = jnp.zeros_like(idx)
-    for k, d in enumerate(_SOBOL2_DIRS):
+    for k, d in enumerate(_SOBOL2_DIRS[:n_bits]):
         bit = (idx >> U32(k)) & U32(1)
         out = out ^ (U32(d) * bit)
     return out
 
 
-def _owen_u32(x: jnp.ndarray, seed: jnp.ndarray) -> jnp.ndarray:
-    """Laine-Karras nested uniform scramble on reversed bits (seed may be a
-    per-lane array)."""
-    v = _vdc_u32(x)
+def _owen_rev_u32(v: jnp.ndarray, seed: jnp.ndarray) -> jnp.ndarray:
+    """Laine-Karras scramble body for an ALREADY bit-reversed input:
+    _owen_u32(x) == _owen_rev_u32(_vdc_u32(x)). The x-dimension draw calls
+    this with the raw index (vdc is an involution, so the vdc(vdc(index))
+    round trip is dead work)."""
     v = v + seed
     v = v ^ (v * U32(0x6C50B47C))
     v = v ^ (v * U32(0xB82F1E52))
     v = v ^ (v * U32(0xC7AFE638))
     v = v ^ (v * U32(0x8D22F6E6))
     return _vdc_u32(v)
+
+
+def _owen_u32(x: jnp.ndarray, seed: jnp.ndarray) -> jnp.ndarray:
+    """Laine-Karras nested uniform scramble on reversed bits (seed may be a
+    per-lane array)."""
+    return _owen_rev_u32(_vdc_u32(x), seed)
 
 
 def _pmj_point(set_idx: jnp.ndarray, index: jnp.ndarray):
@@ -145,8 +154,10 @@ def _pmj_point(set_idx: jnp.ndarray, index: jnp.ndarray):
         m = set_idx == s
         sx = jnp.where(m, U32(_PMJ_SET_SEEDS[s][0]), sx)
         sy = jnp.where(m, U32(_PMJ_SET_SEEDS[s][1]), sy)
-    xu = _owen_u32(_vdc_u32(index), sx)
-    yu = _owen_u32(_sobol2_u32(index), sy)
+    # index < 65536 always (callers mod by the set size): the x dimension's
+    # vdc(vdc(index)) cancels and the Sobol' xors above bit 15 are dead
+    xu = _owen_rev_u32(index, sx)
+    yu = _owen_u32(_sobol2_u32(index, n_bits=16), sy)
     x = xu.astype(jnp.float32) * jnp.float32(2.0 ** -32)
     y = yu.astype(jnp.float32) * jnp.float32(2.0 ** -32)
     return x, y
