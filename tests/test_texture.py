@@ -61,6 +61,30 @@ class TestAdjointness:
         d = write_bsdf_grad(uv, jnp.ones((100, 4)), jnp.zeros((8, 8, 4)))
         np.testing.assert_allclose(float(d.sum()), 400.0, rtol=1e-5)
 
+    def test_nearest_vjp_matches_naive(self):
+        """The sorted-pipeline bwd of the NEAREST fetch == XLA's duplicate
+        scatter-add (the two branches of _read_bsdf_bwd route through the
+        same segment pipeline; this pins the bilinear=False one)."""
+        h = w = 16
+        key = jax.random.PRNGKey(3)
+        k1, k2, k3 = jax.random.split(key, 3)
+        tex = jax.random.uniform(k1, (h, w, 4))
+        uv = jax.random.uniform(k2, (256, 2))
+        ct = jax.random.normal(k3, (256, 4))
+
+        _, vjp = jax.vjp(lambda m: read_bsdf(uv, m, bilinear=False), tex)
+        (auto,) = vjp(ct)
+
+        x = jnp.clip((uv[:, 0] * (w - 1) + 0.4999).astype(jnp.int32), 0, w - 1)
+        y = jnp.clip(((1.0 - uv[:, 1]) * (h - 1) + 0.4999).astype(jnp.int32),
+                     0, h - 1)
+        naive = jnp.zeros((h, w, 4)).at[y, x].add(ct)
+        np.testing.assert_allclose(np.asarray(auto), np.asarray(naive),
+                                   atol=1e-5)
+        # gradient sum is conserved regardless of duplicates
+        np.testing.assert_allclose(float(auto.sum()), float(ct.sum()),
+                                   rtol=1e-5)
+
 
 class TestCompactedScatter:
     """segment_scatter_add4: the compacted/packed PRB flush pipeline
