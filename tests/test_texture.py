@@ -85,6 +85,29 @@ class TestAdjointness:
         np.testing.assert_allclose(float(auto.sum()), float(ct.sum()),
                                    rtol=1e-5)
 
+    @pytest.mark.parametrize("bilinear", [True, False])
+    def test_batched_uv_vjp(self, bilinear):
+        """uv with extra leading dims (e.g. an image-shaped UV grid) must
+        differentiate: the segment pipeline is 1-D, so the bwd flattens.
+        Gradient == the flattened equivalent."""
+        h = w = 8
+        key = jax.random.PRNGKey(7)
+        k1, k2, k3 = jax.random.split(key, 3)
+        tex = jax.random.uniform(k1, (h, w, 4))
+        uv = jax.random.uniform(k2, (3, 5, 2))
+        ct = jax.random.normal(k3, (3, 5, 4))
+
+        _, vjp = jax.vjp(lambda m: read_bsdf(uv, m, bilinear=bilinear), tex)
+        (batched,) = vjp(ct)
+        _, vjp_f = jax.vjp(
+            lambda m: read_bsdf(uv.reshape(-1, 2), m, bilinear=bilinear), tex
+        )
+        (flat,) = vjp_f(ct.reshape(-1, 4))
+        np.testing.assert_allclose(np.asarray(batched), np.asarray(flat),
+                                   atol=1e-6)
+        np.testing.assert_allclose(float(batched.sum()), float(ct.sum()),
+                                   rtol=1e-5)
+
 
 class TestCompactedScatter:
     """segment_scatter_add4: the compacted/packed PRB flush pipeline

@@ -497,21 +497,24 @@ def _read_bsdf_bwd(bilinear, texture_bf16, res, g):
     if not bilinear:
         x = jnp.clip((uv[..., 0] * (w - 1) + 0.4999).astype(jnp.int32), 0, w - 1)
         y = jnp.clip(((1.0 - uv[..., 1]) * (h - 1) + 0.4999).astype(jnp.int32), 0, h - 1)
-        ids = y * w + x
-        chans = [g[..., c] for c in range(4)]
+        ids = (y * w + x).reshape(-1)
+        chans = [g[..., c].reshape(-1) for c in range(4)]
         cm = segment_scatter_add4(ids, chans, h * w, packed=False)
         return jnp.zeros_like(uv), cm_to_texture(cm, h, w).astype(g.dtype)
     x0, y0, fx, fy = _texel_coords(uv, h, w)
     xa, ya = _clamp_xy(x0, y0, h, w)
     xb, yb = _clamp_xy(x0 + 1, y0 + 1, h, w)
+    # flatten before the segment pipeline: uv may carry extra batch dims
+    # (the sort/flush machinery is strictly 1-D)
     ids = jnp.concatenate(
-        [ya * w + xa, yb * w + xa, ya * w + xb, yb * w + xb]
+        [(ya * w + xa).reshape(-1), (yb * w + xa).reshape(-1),
+         (ya * w + xb).reshape(-1), (yb * w + xb).reshape(-1)]
     )
     ws = ((1 - fx) * (1 - fy), (1 - fx) * fy, fx * (1 - fy), fx * fy)
     chans = []
     for c in range(4):
         gc = g[..., c]
-        chans.append(jnp.concatenate([wk * gc for wk in ws]))
+        chans.append(jnp.concatenate([(wk * gc).reshape(-1) for wk in ws]))
     cm = segment_scatter_add4(ids, chans, h * w, packed=False)
     return jnp.zeros_like(uv), cm_to_texture(cm, h, w).astype(g.dtype)
 
