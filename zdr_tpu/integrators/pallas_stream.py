@@ -87,13 +87,15 @@ def _morton3(q):
 def build_stream_pack(scene_pack, chunk: int = STREAM_CHUNK, tile=None):
     """Morton-sort the scene table and build the streamed Woop tables.
 
-    Returns (gat, boxes, t_pad, tile, chunk, sorted_pack):
+    Returns (gat, boxes, t_pad, tile, chunk, sorted_pack, order):
       gat    (48, t_pad) f32, t_pad a multiple of `chunk` (HBM resident)
       boxes  (n_tiles, 8) f32 per-tile AABBs (n_tiles multiple of
              chunk//tile; padded tiles carry inverted boxes)
       sorted_pack (t_pad, 32) the Morton-ordered scene table the XLA
              epilogue gathers winner attributes from (prim ids produced
              by the streamed sweep index THIS table, not the original).
+      order  (t_pad,) i32 Morton index -> input-order triangle index
+             (identity past the real count).
     """
     t_n = scene_pack.shape[0]
     tile = int(tile or MXU_TILE)
@@ -130,7 +132,10 @@ def build_stream_pack(scene_pack, chunk: int = STREAM_CHUNK, tile=None):
         sorted_pack = jnp.pad(
             sorted_pack, ((0, t_full - sorted_pack.shape[0]), (0, 0))
         )
-    return gat, boxes, t_full, tile, chunk, sorted_pack
+    order = jnp.concatenate(
+        [order.astype(jnp.int32), jnp.arange(t_n, t_full, dtype=jnp.int32)]
+    )
+    return gat, boxes, t_full, tile, chunk, sorted_pack, order
 
 
 # ------------------------------------------------------------- kernels
@@ -351,35 +356,10 @@ def build_stream_tris(p0, e1, e2, chunk: int = STREAM_CHUNK, tile=None):
     scene_like = jnp.concatenate(
         [p0, e1, e2, jnp.zeros((t_n, 23), jnp.float32)], axis=1
     )
-    cent = p0 + (e1 + e2) / 3.0
-    lo = jnp.min(cent, axis=0)
-    span = jnp.maximum(jnp.max(cent, axis=0) - lo, 1e-20)
-    q = ((cent - lo) / span * 1023.0).astype(jnp.uint32)
-    order = jnp.argsort(_morton3(q)).astype(jnp.int32)
-    sorted_like = scene_like[order]
-    gat, boxes, t_pad, tile = build_woop_pack(sorted_like, tile=tile)
-    chunk = max(int(chunk), tile)
-    if chunk % tile:
-        chunk = -(-chunk // tile) * tile
-    chunk = min(chunk, t_pad)  # small scenes: one chunk, no pad blowup
-    t_full = -(-t_pad // chunk) * chunk
-    if t_full != t_pad:
-        gat = jnp.pad(gat, ((0, 0), (0, t_full - t_pad)))
-    n_tiles = t_full // tile
-    bpad = n_tiles - boxes.shape[0]
-    if bpad > 0:
-        empty = jnp.zeros((bpad, 8), jnp.float32)
-        empty = empty.at[:, 0:3].set(1e30).at[:, 3:6].set(-1e30)
-        boxes = jnp.concatenate([boxes, empty], axis=0)
-    else:
-        boxes = boxes[:n_tiles]
-    verts9 = jnp.pad(
-        sorted_like[:, 0:9], ((0, t_full - t_n), (0, 0))
+    gat, boxes, t_full, tile, chunk, sorted_pack, order = build_stream_pack(
+        scene_like, chunk=chunk, tile=tile
     )
-    order = jnp.concatenate(
-        [order, jnp.arange(t_n, t_full, dtype=jnp.int32)]
-    )
-    return gat, boxes, t_full, tile, chunk, verts9, order
+    return gat, boxes, t_full, tile, chunk, sorted_pack[:, 0:9], order
 
 
 def _to_planes(cols3):

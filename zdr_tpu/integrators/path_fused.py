@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..scenedata import SceneData
+from ..samplers import select_on_restart
 from ..samplers.hashes import lcg_to_unit_float
 from ..texture import (
     cm_to_texture,
@@ -237,7 +238,7 @@ def render_path_fused(
 
         o = tuple(sel(new_o[c], (nox, noy, noz)[c], s["o"][c]) for c in range(3))
         d = tuple(sel(new_d[c], (ndx, ndy, ndz)[c], s["d"][c]) for c in range(3))
-        smp = jax.tree.map(lambda a, b: jnp.where(restart, a, b), new_smp, smp)
+        smp = select_on_restart(restart, new_smp, smp)
         cur = tuple(jnp.where(terminated, 0.0, cur[c]) for c in range(3))
         beta = tuple(
             jnp.where(terminated, 1.0, jnp.where(alive, (bnr, bng, bnb)[c], s["beta"][c]))
@@ -380,7 +381,7 @@ def render_path_backward_fused(
 
         o = tuple(sel(new_o[c], (nox, noy, noz)[c], s["o"][c]) for c in range(3))
         d = tuple(sel(new_d[c], (ndx, ndy, ndz)[c], s["d"][c]) for c in range(3))
-        smp = jax.tree.map(lambda a, b: jnp.where(restart, a, b), new_smp, smp)
+        smp = select_on_restart(restart, new_smp, smp)
         le_rem = tuple(
             jnp.where(end_le, jnp.where(le_ok, cur[c], 0.0), le_rem[c])
             for c in range(3)

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..camera import generate_ray, tent_warp
-from ..samplers import make_sampler
+from ..samplers import make_sampler, select_on_restart
 from ..scenedata import SceneData
 from .path import _apply_rr, _depths, _walk_one_bounce
 from .wrapper import RADIANCE_CLAMP
@@ -32,14 +32,9 @@ SCATTER_BATCH = 4  # bounces of splat entries buffered per scatter flush
 
 
 def _sel_sampler(restart, new_smp, smp):
-    """Per-lane select over sampler pytrees. Leaves are either lane-shaped
-    or carry LEADING table axes (pmj02bn's (n_tex, *lanes) bn_cache), so
-    the mask broadcasts against the TRAILING dims."""
-    def sel(a, b):
-        r = restart.reshape((1,) * (a.ndim - restart.ndim) + restart.shape)
-        return jnp.where(r, a, b)
-
-    return jax.tree.map(sel, new_smp, smp)
+    """Per-lane select over sampler pytrees, restart-varying leaves only
+    (invariant leaves like pmj02bn's bn_cache stay identity carries)."""
+    return select_on_restart(restart, new_smp, smp)
 
 
 def _start_sample(coords, camera, seed, spp, sample_idx, res, use_tent, kind):

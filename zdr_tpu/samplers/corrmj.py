@@ -40,6 +40,9 @@ class CorrMJSampler(NamedTuple):
     res: jnp.ndarray  # (N,) uint32 grid side
     resw: jnp.ndarray  # (N,) uint32
 
+    # permutation_seed/spp/w/res/resw are restart-invariant (same px/py/seed)
+    _RESTART_VARYING = ("sample_index", "dimension", "state")
+
     def salt(self) -> jnp.ndarray:
         """Per-lane, per-bounce uint32 side-channel (see LCGSampler.salt)."""
         return self.state ^ (self.dimension * U32(0x9E3779B9)) ^ U32(0x5F356495)

@@ -18,6 +18,8 @@ from .hashes import U32, lcg_step, lcg_to_unit_float, xxhash32_4
 class LCGSampler(NamedTuple):
     state: jnp.ndarray  # uint32 (N,)
 
+    _RESTART_VARYING = ("state",)
+
     def next1(self) -> Tuple[jnp.ndarray, "LCGSampler"]:
         s = lcg_step(self.state)
         return lcg_to_unit_float(s), LCGSampler(s)

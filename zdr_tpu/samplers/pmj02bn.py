@@ -198,6 +198,10 @@ class PMJ02BNSampler(NamedTuple):
     w: jnp.ndarray  # uint32 next-pow2(spp)-1 mask
     bn_cache: jnp.ndarray  # (n_tex, *lane_shape) f32 per-lane blue noise
 
+    # fields a same-(px, py, seed) restart actually changes; the rest are
+    # recomputed bit-identically (see samplers.select_on_restart)
+    _RESTART_VARYING = ("sample_index", "dimension")
+
     def salt(self) -> jnp.ndarray:
         """Per-lane, per-bounce uint32 side-channel (see LCGSampler.salt)."""
         return xxhash32_4(
