@@ -223,12 +223,62 @@ def bigmesh_render():
     )
 
 
+def example_workflow():
+    """Reference-example workflow (sphere + envmap, direct, texture opt):
+    fused vs unfused iteration time — VERDICT r2 item 1's done-criterion
+    wants this ratio (>= 3x) as a BASELINE.md row."""
+    from zdr_tpu import Camera, Scene, float3
+    from zdr_tpu.envmap import make_test_envmap
+    from zdr_tpu.geometry.procedural import make_uv_sphere
+
+    for fused in ("auto", False):
+        scene = Scene([(make_uv_sphere(0.5), None, None)], integrator="direct")
+        scene.fused = fused
+        scene.add_envmap(make_test_envmap(256, 512))
+        scene.camera = Camera(
+            fov=50 / 180 * 3.1415926,
+            origin=float3(1.0, 0.0, 0.0),
+            target=float3(0.0, 0.0, 0.0),
+        )
+        scene.max_spp_per_call = 16
+        material = jnp.full((512, 512, 4), 0.5, jnp.float32)
+
+        def step(seed):
+            def loss(m):
+                img = scene.render(m, res=(512, 512), spp=64, seed=seed)
+                return jnp.sum(img[..., :3])
+
+            return jax.grad(loss)(material)
+
+        sync(step(jnp.asarray(0, jnp.int32)))
+        times = []
+        for i in range(2):
+            t0 = time.perf_counter()
+            sync(step(jnp.asarray(i + 1, jnp.int32)))
+            times.append(time.perf_counter() - t0)
+        dt = min(times)
+        print(
+            f"example-workflow fused={fused}: "
+            + " ".join(f"{t:.2f}" for t in times)
+            + f" -> {dt:.2f} s/iter (512^2 spp64 direct+envmap fwd+bwd)",
+            flush=True,
+        )
+
+
+def flush_share():
+    import tools.profile_bwd_flush as pbf
+
+    pbf.main()
+
+
 SECTIONS = {
     "ref16": lambda: ref_protocol(16),
     "ref32": lambda: ref_protocol(32),
     "headline": headline,
     "bwdsplit": bwd_split,
+    "flush": flush_share,
     "window": direct_window,
+    "example": example_workflow,
     "bigmesh": bigmesh_render,
 }
 
