@@ -23,12 +23,13 @@ import jax.numpy as jnp
 
 from ..scenedata import SceneData
 from ..samplers import select_on_restart
-from ..samplers.hashes import lcg_to_unit_float
+from ..samplers.hashes import lcg_step, lcg_to_unit_float
 from ..texture import (
     cm_to_texture,
     flush_splat_buffer,
     make_splat_buffer,
     pack_quads,
+    reservoir_merge_taps,
     splat_buffer_row,
 )
 from .fused_glue import (
@@ -291,6 +292,9 @@ def render_path_backward_fused(
     zeros = jnp.zeros((rows, LANES), jnp.float32)
     n_lanes = rows * LANES
     buf0 = make_splat_buffer(SCATTER_BATCH, n_lanes, n_bins, cfg.packed_splat)
+    merge = max(1, int(cfg.splat_merge))
+    pend0 = (jnp.full((rows, LANES), n_bins, jnp.int32),
+             zeros, zeros, zeros, zeros)
 
     init = dict(
         sample_idx=start_idx,
@@ -308,6 +312,8 @@ def render_path_backward_fused(
         buf=buf0,
         it=jnp.zeros((), jnp.int32),
     )
+    if merge > 1:
+        init["pend"] = pend0
 
     def flush(d_mat, buf):
         return flush_splat_buffer(d_mat, buf, n_bins, cfg.packed_splat)
@@ -353,11 +359,31 @@ def render_path_backward_fused(
         )
         le_rem = (lerx, lery, lerz)
 
-        # splat buffer write (ids already sentinel-masked in-kernel)
-        slot = jnp.mod(s["it"], SCATTER_BATCH)
-        row = splat_buffer_row(ids, g0, g1, g2, g3, cfg.packed_splat)
+        # splat buffer write (ids already sentinel-masked in-kernel). With
+        # splat_merge > 1, a pending tap rides the carry and each group of
+        # `merge` iterations reservoir-collapses to ONE buffer row: the
+        # partial merge is (re)written to the SAME slot every iteration, so
+        # the buffer is always flush-consistent (loop exit mid-group included)
+        new_tap = (ids, g0, g1, g2, g3)
+        if merge > 1:
+            u_m = lcg_to_unit_float(lcg_step(smp.salt()))
+            merged = reservoir_merge_taps(s["pend"], new_tap, u_m, n_bins)
+            group_end = jnp.mod(s["it"], merge) == merge - 1
+            pend = tuple(
+                jnp.where(group_end, z, v) for z, v in zip(pend0, merged)
+            )
+            write_tap = merged
+            slot = jnp.mod(s["it"] // merge, SCATTER_BATCH)
+            do_flush = (
+                jnp.mod(s["it"], merge * SCATTER_BATCH)
+                == merge * SCATTER_BATCH - 1
+            )
+        else:
+            write_tap = new_tap
+            slot = jnp.mod(s["it"], SCATTER_BATCH)
+            do_flush = slot == SCATTER_BATCH - 1
+        row = splat_buffer_row(*write_tap, cfg.packed_splat)
         buf = jax.lax.dynamic_update_index_in_dim(s["buf"], row, slot, 0)
-        do_flush = slot == SCATTER_BATCH - 1
         d_mat = jax.lax.cond(
             do_flush, lambda a: flush(*a), lambda a: a[0], (s["d_mat"], buf)
         )
@@ -396,11 +422,14 @@ def render_path_backward_fused(
         )
         pdf_prev = jnp.where(terminated, 1e30, jnp.where(alive, pdfb, s["pdf_prev"]))
         depth = jnp.where(terminated, 0, s["depth"] + 1)
-        return dict(
+        out = dict(
             sample_idx=sample_idx, phase=phase, depth=depth, o=o, d=d,
             beta=beta, pdf_prev=pdf_prev, smp=smp, cur=cur, le_rem=le_rem,
             gok=gok, d_mat=d_mat, buf=buf, it=s["it"] + 1,
         )
+        if merge > 1:
+            out["pend"] = pend
+        return out
 
     out = jax.lax.while_loop(cond, body, init)
     d_mat = flush(out["d_mat"], out["buf"])

@@ -169,11 +169,12 @@ def render_path_backward_persistent(
     scatter-adds differs (both deterministic)."""
     from .path import SPECULAR
     from ..microfacet import ggx_brdf
-    from ..samplers.hashes import lcg_to_unit_float
+    from ..samplers.hashes import lcg_step, lcg_to_unit_float
     from ..texture import (
         cm_to_texture,
         flush_splat_buffer,
         make_splat_buffer,
+        reservoir_merge_taps,
         splat_buffer_row,
         stochastic_corner_ids,
         write_bsdf_grad,
@@ -208,6 +209,9 @@ def render_path_backward_persistent(
     # masked/unused entries carry the sentinel id n_bins so the flush's
     # compaction collapses them into one dead segment (texture.py)
     buf0 = make_splat_buffer(SCATTER_BATCH, N, n_bins, cfg.packed_splat)
+    merge = max(1, int(cfg.splat_merge)) if cfg.stochastic_splat else 1
+    zf = jnp.zeros((N,), jnp.float32)
+    pend0 = (jnp.full((N,), n_bins, jnp.int32), zf, zf, zf, zf)
 
     init = dict(
         sample_idx=start_idx,
@@ -231,6 +235,8 @@ def render_path_backward_persistent(
         buf=buf0,
         it=jnp.zeros((), jnp.int32),
     )
+    if merge > 1:
+        init["pend"] = pend0
 
     def flush(d_mat, buf):
         return flush_splat_buffer(d_mat, buf, n_bins, cfg.packed_splat)
@@ -297,18 +303,37 @@ def render_path_backward_persistent(
         grads = [
             jnp.where(grad_on & ~jnp.isnan(g), g, 0.0) for g in grads
         ]
+        pend = None
         if cfg.stochastic_splat:
             u_splat = lcg_to_unit_float(smp.salt())
             ids = stochastic_corner_ids(
                 v.uv, u_splat, material.shape[0], material.shape[1]
             )
             ids = jnp.where(grad_on, ids, n_bins)  # sentinel: compacts away
-            slot = jnp.mod(s["it"], SCATTER_BATCH)
-            row = splat_buffer_row(
-                ids, grads[0], grads[1], grads[2], grads[3], cfg.packed_splat
-            )
+            new_tap = (ids, grads[0], grads[1], grads[2], grads[3])
+            if merge > 1:
+                # reservoir-collapse `merge` iterations' taps to one row;
+                # the partial merge rewrites the SAME slot each iteration,
+                # keeping the buffer flush-consistent at loop exit (see
+                # path_fused.render_path_backward_fused)
+                u_m = lcg_to_unit_float(lcg_step(smp.salt()))
+                merged = reservoir_merge_taps(s["pend"], new_tap, u_m, n_bins)
+                group_end = jnp.mod(s["it"], merge) == merge - 1
+                pend = tuple(
+                    jnp.where(group_end, z, vv) for z, vv in zip(pend0, merged)
+                )
+                write_tap = merged
+                slot = jnp.mod(s["it"] // merge, SCATTER_BATCH)
+                do_flush = (
+                    jnp.mod(s["it"], merge * SCATTER_BATCH)
+                    == merge * SCATTER_BATCH - 1
+                )
+            else:
+                write_tap = new_tap
+                slot = jnp.mod(s["it"], SCATTER_BATCH)
+                do_flush = slot == SCATTER_BATCH - 1
+            row = splat_buffer_row(*write_tap, cfg.packed_splat)
             buf = jax.lax.dynamic_update_index_in_dim(s["buf"], row, slot, 0)
-            do_flush = slot == SCATTER_BATCH - 1
             d_mat = jax.lax.cond(
                 do_flush,
                 lambda args: flush(*args),
@@ -366,12 +391,15 @@ def render_path_backward_persistent(
         )
         depth = jnp.where(terminated, 0, s["depth"] + 1)
 
-        return dict(
+        out = dict(
             sample_idx=sample_idx, phase=phase, depth=depth, o=o, d=d,
             beta=beta, pdf_prev=pdf_prev, smp=smp, cur=cur, le_rem=le_rem,
             gok=gok, d_mat=d_mat, buf=buf,
             it=s["it"] + 1,
         )
+        if merge > 1:
+            out["pend"] = pend
+        return out
 
     out = jax.lax.while_loop(cond, body, init)
     if cfg.stochastic_splat:

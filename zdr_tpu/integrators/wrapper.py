@@ -57,6 +57,12 @@ class RenderConfig:
     # splat flush packs channel pairs as bf16 (2x fewer scatter updates at
     # ~0.3% relative splat quantization; see texture.segment_scatter_add4)
     packed_splat: bool = True
+    # PRB backward: weighted-reservoir merge of this many consecutive bounce
+    # iterations' gradient taps into ONE splat-buffer row (unbiased; exact
+    # whenever at most one tap in the group is real — see
+    # texture.reservoir_merge_taps). Divides the flush volume — the dominant
+    # cost of the fused backward — by the same factor. 1 = every tap splats.
+    splat_merge: int = 1
     # path/direct integrators: fused Pallas bounce megakernels when the
     # scene is in scope (mesh-lights-only, lcg sampler, small dense scene —
     # see integrators/pallas_bounce.py). "auto" uses them on real

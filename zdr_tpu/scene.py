@@ -138,6 +138,11 @@ class Scene:
         # flush (2x fewer scatter updates; ~0.3% relative gradient noise on
         # top of the estimator's own). Set False for bit-exact splats.
         self.packed_splat = True
+        # PRB backward: reservoir-merge groups of this many bounce taps into
+        # one splat entry (texture.reservoir_merge_taps; unbiased). Divides
+        # the splat-flush volume — the dominant backward cost — by the same
+        # factor at a modest gradient-noise increase. 1 = off.
+        self.splat_merge = 1
         # fused Pallas bounce megakernels for the path/direct integrators:
         # "auto" (default) = on real accelerators when the scene is in
         # scope; "force" = everywhere (CPU interpret too); False = off
@@ -255,6 +260,7 @@ class Scene:
             rr_depth=int(self.rr_depth),
             bilinear=bool(self.bilinear),
             packed_splat=bool(self.packed_splat),
+            splat_merge=int(self.splat_merge),
             fused=self.fused,
             texture_bf16=bool(self.texture_bf16),
             it_count=int(it_count),

@@ -228,6 +228,40 @@ def segment_scatter_add4(
     return add
 
 
+def reservoir_merge_taps(pend, new, u, n_bins: int):
+    """Weighted-reservoir merge of two gradient taps per lane into one.
+
+    `pend`/`new` are (ids, g0, g1, g2, g3) tuples (ids int32 with sentinel
+    n_bins for masked lanes; g* float32). Picks one of the two taps with
+    probability proportional to its L1 channel magnitude and rescales it by
+    total/chosen weight, so E[merged] == pend + new per channel (the same
+    unbiasedness argument as the stochastic single-corner splat). When only
+    one side is real the other has weight 0 and the merge is EXACT (scale 1)
+    — with the fused PRB walk's phase interleaving roughly half of all
+    pairings hit this exact case. `u` must be a per-lane uniform independent
+    of the replayable sampler stream (callers derive it from a side-channel
+    hash, like the splat-corner draw)."""
+    ids_p, p0, p1, p2, p3 = pend
+    ids_n, n0, n1, n2, n3 = new
+    wp = jnp.abs(p0) + jnp.abs(p1) + jnp.abs(p2) + jnp.abs(p3)
+    wn = jnp.abs(n0) + jnp.abs(n1) + jnp.abs(n2) + jnp.abs(n3)
+    wp = jnp.where(ids_p < n_bins, wp, 0.0)
+    wn = jnp.where(ids_n < n_bins, wn, 0.0)
+    tot = wp + wn
+    take_p = u * tot < wp  # wp==0 -> False (exact-new); wn==0 -> True (exact-pend)
+    sp = tot / jnp.maximum(wp, 1e-30)
+    sn = tot / jnp.maximum(wn, 1e-30)
+    ids = jnp.where(take_p, ids_p, ids_n)
+    gs = tuple(
+        jnp.where(take_p, p * sp, n * sn)
+        for p, n in ((p0, n0), (p1, n1), (p2, n2), (p3, n3))
+    )
+    # zero-weight lanes (both masked, or real ids with all-zero gradients)
+    # collapse to the sentinel: they'd only dilute the flush's compaction
+    ids = jnp.where(tot > 0, ids, n_bins)
+    return (ids, *gs)
+
+
 def make_splat_buffer(
     sb: int, n_lanes: int, n_bins: int, packed: bool
 ) -> jnp.ndarray:
