@@ -106,6 +106,77 @@ class TestEmissionGating:
             assert crop.mean() > 1e-3, f"{integrator}: second instance is black"
 
 
+class TestSplatMerge:
+    def test_reservoir_merge_exact_and_unbiased(self):
+        """texture.reservoir_merge_taps: exact when one side is masked or
+        zero-weight; unbiased (integrates to the sum) when both are real;
+        zero-weight groups collapse to the sentinel id."""
+        from zdr_tpu.texture import reservoir_merge_taps
+
+        nb = 100
+        # exact cases: pend masked -> new survives unscaled (and vice versa)
+        pend = (jnp.array([nb, 5]),) + tuple(
+            jnp.array([0.0, 2.0]) for _ in range(4)
+        )
+        new = (jnp.array([7, nb]),) + tuple(
+            jnp.array([3.0, 0.0]) for _ in range(4)
+        )
+        for u in (0.0, 0.5, 0.9999):
+            out = reservoir_merge_taps(pend, new, jnp.full((2,), u), nb)
+            assert int(out[0][0]) == 7 and float(out[1][0]) == 3.0
+            assert int(out[0][1]) == 5 and float(out[1][1]) == 2.0
+        # unbiasedness: integrate the estimator over u on a fine grid
+        pend = (jnp.array([5]),) + tuple(
+            jnp.array([v]) for v in (1.0, -2.0, 0.5, 0.0)
+        )
+        new = (jnp.array([7]),) + tuple(
+            jnp.array([v]) for v in (4.0, 1.0, 0.0, -1.0)
+        )
+        n = 4096
+        us = (jnp.arange(n, dtype=jnp.float32) + 0.5) / n
+        bp = tuple(jnp.broadcast_to(x, us.shape) for x in pend)
+        bn = tuple(jnp.broadcast_to(x, us.shape) for x in new)
+        out = reservoir_merge_taps(bp, bn, us, nb)
+        want = (5.0, -1.0, 0.5, -1.0)  # pend + new per channel
+        for c in range(4):
+            got = float(jnp.mean(out[1 + c]))
+            assert abs(got - want[c]) < 2e-3, (c, got, want[c])
+        # all-zero group -> sentinel id (keeps the flush compaction clean)
+        z = tuple(jnp.zeros((1,)) for _ in range(4))
+        out = reservoir_merge_taps(
+            (jnp.array([5]),) + z, (jnp.array([nb]),) + z, jnp.array([0.5]), nb
+        )
+        assert int(out[0][0]) == nb
+
+    def test_splat_merge_grad_unbiased_and_close(self):
+        """splat_merge=2 halves the flush volume at a bounded reservoir-
+        noise cost: the same-seed realization difference must stay well
+        below the estimator's own cross-seed MC noise (measured here:
+        merge diff ~0.18 vs cross-seed ~0.34 L1 at this size), and the
+        knob must engage (bits change)."""
+        import jax
+
+        scene = _cbox_scene("path")
+
+        def grad(seed, merge):
+            scene.splat_merge = merge
+            def loss(m):
+                return jnp.sum(
+                    scene.render(m, res=(24, 24), spp=8, seed=seed)[..., :3]
+                )
+
+            return np.asarray(jax.grad(loss)(MAT))
+
+        g1 = grad(3, 1)
+        g2 = grad(3, 2)
+        assert not np.array_equal(g1, g2), "splat_merge knob did not engage"
+        denom = np.abs(g1).sum()
+        assert denom > 0
+        merge_noise = np.abs(g1 - g2).sum() / denom
+        inherent = np.abs(g1 - grad(4, 1)).sum() / denom
+        assert merge_noise < 0.8 * inherent, (merge_noise, inherent)
+
+
 class TestPackedSplat:
     def test_packed_splat_grad_close_to_exact(self):
         """packed_splat quantizes per-flush splat totals to bf16: the PRB
