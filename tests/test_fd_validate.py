@@ -199,6 +199,12 @@ class TestConvergenceTrend:
         # path [0.099 -> 0.0088] across spp 64 -> 512.
         scene.rr_depth = 99
         scene.max_depth = 5
+        # splat_merge off: the reservoir merge adds unbiased noise to the
+        # AD side only (FD differentiates unmerged primal renders), raising
+        # the AD-FD error's constant without changing the estimator. This
+        # gate checks estimator algebra; merge noise is bounded separately
+        # against the MC floor in test_config_knobs.py.
+        scene.splat_merge = 1
         material = jax.random.uniform(
             jax.random.PRNGKey(0), (12, 12, 4), minval=0.25, maxval=0.75
         )

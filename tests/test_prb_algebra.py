@@ -102,7 +102,10 @@ class TestPRBEqualsAutodiff:
         AND splat-salt streams, so with the stochastic splat they must
         agree to summation-order tolerance."""
         scene, cfg, material = _setup(max_depth=4)
-        cfg_st = dataclasses.replace(cfg, stochastic_splat=True)
+        # splat_merge pinned off: the scan backward emits every tap, so
+        # realization equality only holds against an unmerged persistent walk
+        # (merge UNBIASEDNESS is gated separately in test_config_knobs.py).
+        cfg_st = dataclasses.replace(cfg, stochastic_splat=True, splat_merge=1)
         cfg_pers = dataclasses.replace(
             cfg_st, persistent=True, fused=False
         )

@@ -46,11 +46,18 @@ from jax.experimental.pallas import tpu as pltpu
 from ..samplers.hashes import U32
 from .path import SPECULAR
 
-LANES = 128
-# 128 rows x 128 lanes per grid step: the backward shade kernel carries
-# ~57 ray planes; at 256 rows their double-buffered VMEM footprint sits at
-# the 16 MB edge (observed compile OOM by 0.9 MB on a variant build)
-BLOCK_ROWS = 128
+# 512-wide ray rows: the MXU sweeps' per-tile dots are K=4 latency-bound,
+# so widening the rhs from (4, 256) to (4, 1024) amortizes matmul issue and
+# loop overhead at identical flops. Measured (v5e-1, 962 tris, 262k rays):
+# closest 9.99 -> 7.85 ms, shadow 9.81 -> 8.06 ms vs the 128-lane rows;
+# 1024-wide fails to compile (tile x lane intermediates past the vreg
+# budget) — tools/profile_wide.py holds the sweep.
+LANES = 512
+# 32 rows x 512 lanes per grid step (same 16k-ray block as the previous
+# 128x128): the backward shade kernel carries ~57 ray planes; at 2x this
+# block their double-buffered VMEM footprint sits at the 16 MB edge
+# (observed compile OOM by 0.9 MB on a variant build)
+BLOCK_ROWS = 32
 # Scene-table VMEM budget: the column-packed table is 128 B/triangle
 # ((T_pad, 32) f32), so 16k triangles = 2 MB alongside ~4 MB of
 # double-buffered ray planes in the backward shade kernel. Matches
@@ -311,12 +318,12 @@ def build_fused_const(data, meta: FusedMeta):
 
 # ----------------------------------------------- MXU (Woop) trace tables
 
-# triangles per MXU sweep tile. 512 measured best with AABB tile culling
-# (tools/profile_mxu_variants.py aabb-*: 512 -> 10.4 ms vs 1024-tile
-# uncull ed 14.1 at 962 tris/262k primary rays) — finer tiles skip more,
-# coarser tiles amortize better; 512 balances both and keeps the per-tile
-# transform transients ((tile, 128) f32 x6) at 1.5 MB
-MXU_TILE = 512
+# triangles per MXU sweep tile. At 512-wide ray rows, 128 measured best
+# (tools/profile_wide.py, 962 tris/262k rays: closest 7.85 ms at tile 128
+# vs 10.00 at tile 512) — finer tiles cull more and their (tile, lanes)
+# transform transients stay at 256 KB; the wide rhs already amortizes the
+# per-dot latency that used to favor coarse tiles.
+MXU_TILE = 128
 # dense sweeps at or above this triangle count route to the MXU kernel;
 # below it the per-triangle fori_loop wins (measured: the Woop matmul
 # formulation pays ~fixed per-row-group matmul latency that tiny scenes
@@ -378,7 +385,9 @@ def build_woop_pack(scene_pack, tile=None):
 
     bu_, bv_, bw_ = aug(ru), aug(rv), aug(rw)
     if tile is None:
-        tile = min(MXU_TILE, -(-t_n // LANES) * LANES)
+        # quantize to 128 (the VMEM lane width for the gat table's minor
+        # axis), independent of the ray-row LANES width
+        tile = min(MXU_TILE, -(-t_n // 128) * 128)
     t_pad = -(-t_n // tile) * tile
     pad = ((0, t_pad - t_n), (0, 0))
     bu_, bv_, bw_ = (jnp.pad(a, pad) for a in (bu_, bv_, bw_))

@@ -141,8 +141,9 @@ class Scene:
         # PRB backward: reservoir-merge groups of this many bounce taps into
         # one splat entry (texture.reservoir_merge_taps; unbiased). Divides
         # the splat-flush volume — the dominant backward cost — by the same
-        # factor at a modest gradient-noise increase. 1 = off.
-        self.splat_merge = 1
+        # factor. 1 = off. Default 4: merge noise measured 5x below the
+        # estimator's own seed-to-seed noise (see RenderConfig.splat_merge).
+        self.splat_merge = 4
         # fused Pallas bounce megakernels for the path/direct integrators:
         # "auto" (default) = on real accelerators when the scene is in
         # scope; "force" = everywhere (CPU interpret too); False = off
