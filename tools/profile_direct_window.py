@@ -68,7 +68,7 @@ def main():
     coords = _pixel_grid((512, 512))
     setup = df._setup(data, material, cfg, coords)
     (meta, scene_pack, tables, env_hw, packed, rows, pxp, pyp, real,
-     woop, _stream) = setup
+     woop, _stream, _order) = setup
     h = w = 1024
     seed = jnp.asarray(1, jnp.int32)
     L = pb.LANES
@@ -99,6 +99,38 @@ def main():
 
     t_glue = inloop(glue, px, py, pz, shade)
     print(f"glue: {t_glue*1e3:.2f} ms", flush=True)
+
+    # glue sub-stages (what to attack): material gather vs NEE vs draws.
+    # Three extra compiles — opt-in via GLUE_SPLIT=1 to keep the default
+    # run inside the tunnel's time budget.
+    import os
+    if os.environ.get("GLUE_SPLIT", "0") != "1":
+        _glue_split = False
+    else:
+        _glue_split = True
+
+    def glue_tex(ux, uy):
+        return read_quads_planes(ux, uy, packed, h, w)
+
+    def glue_nee(px, py, pz):
+        nee, _ = sample_light_planes(meta, tables, env_hw, (px, py, pz), smp)
+        return (*nee[0], nee[1], nee[2], *nee[3])
+
+    def glue_draws(px):
+        smp2 = smp
+        d1, smp2 = smp2.next1()
+        d2, smp2 = smp2.next1()
+        (a, b), smp2 = smp2._next2_xy()
+        dr, _ = bounce_draws(smp2, want_rr=False)
+        return (d1 + px * 0, d2, a, b, *dr)
+
+    if _glue_split:
+        t_gt = inloop(glue_tex, ux, uy)
+        t_gn = inloop(glue_nee, px, py, pz)
+        t_gd = inloop(glue_draws, px)
+        print(f"  glue.tex_gather: {t_gt*1e3:.2f} ms", flush=True)
+        print(f"  glue.nee_select: {t_gn*1e3:.2f} ms", flush=True)
+        print(f"  glue.draws(7):   {t_gd*1e3:.2f} ms", flush=True)
 
     nee, smp2 = sample_light_planes(meta, tables, env_hw, (px, py, pz), smp)
     (wi_l, l_dist, l_pdf, l_ev) = nee
@@ -143,6 +175,32 @@ def main():
 
     t_k2g = inloop(k2g, *ray_planes, *nee_planes, *draws, occ)
     print(f"k2g: {t_k2g*1e3:.2f} ms", flush=True)
+
+    # merged production kernels (bounce_emit=True: shadow + bounce sweeps
+    # + shading in one kernel)
+    def k2m(*planes):
+        rp, np_, dp = planes[:24], planes[24:32], planes[32:36]
+        return df.fused_shade(
+            scene_pack, meta.num_tris, rp, np_, dp, 2, 16, h, w,
+            woop=woop, bounce_emit=True,
+        )
+
+    t_k2m = inloop(k2m, *ray_planes, *nee_planes, *draws)
+    print(f"k2m (merged fwd): {t_k2m*1e3:.2f} ms", flush=True)
+
+    zf = jnp.zeros((rows, L), jnp.float32)
+
+    def k2mg(*planes):
+        rp, np_, dp = planes[:24], planes[24:32], planes[32:36]
+        return df.fused_shade(
+            scene_pack, meta.num_tris, rp, np_, dp, 2, 16, h, w,
+            grad_planes=(real, zf, zf, zf, onesf, onesf, onesf,
+                         ux, uy, u_splat),
+            woop=woop, bounce_emit=True,
+        )
+
+    t_k2mg = inloop(k2mg, *ray_planes, *nee_planes, *draws)
+    print(f"k2mg (merged grad): {t_k2mg*1e3:.2f} ms", flush=True)
 
     def run_sample(seed2):
         rad, gouts = df._one_sample(

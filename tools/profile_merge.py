@@ -122,7 +122,7 @@ def glue():
     coords = _pixel_grid((512, 512))
     setup = df._setup(data, material, cfg, coords)
     (meta, scene_pack, tables, env_hw, packed, rows, pxp, pyp, real,
-     woop, _stream) = setup
+     woop, _stream, _order) = setup
     h = w = 1024
     seed = jnp.asarray(1, jnp.int32)
     sidx = jnp.zeros((rows, LANES), jnp.int32)

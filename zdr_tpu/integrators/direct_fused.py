@@ -79,9 +79,14 @@ def direct_fused_eligible(data: SceneData, cfg) -> bool:
 
 
 def _setup(data, material, cfg, coords):
-    from .pallas_bounce import FUSED_MAX_TRIS
+    from .pallas_bounce import FUSED_MAX_TRIS, spatial_lane_perm
     from .pallas_stream import build_stream_pack
 
+    if getattr(cfg, "lane_order", "morton") == "morton":
+        perm, inv = spatial_lane_perm(coords)
+        coords = coords[perm]
+    else:
+        perm = inv = None
     meta = data.fused_meta
     scene_pack, light_pack = build_fused_const(data, meta)
     if meta.num_tris > FUSED_MAX_TRIS:
@@ -106,7 +111,7 @@ def _setup(data, material, cfg, coords):
     pyp = pad_to_planes(coords[:, 1], rows)
     real = pad_to_planes(jnp.ones((n_pix,), jnp.int32), rows)
     return (meta, scene_pack, tables, env_hw, packed, rows, pxp, pyp, real,
-            woop, stream)
+            woop, stream, (perm, inv))
 
 
 def _one_sample(data, material, camera, seed, cfg, setup, it, want_grad,
@@ -115,7 +120,7 @@ def _one_sample(data, material, camera, seed, cfg, setup, it, want_grad,
     from .pallas_stream import stream_any, stream_trace_interact
 
     (meta, scene_pack, tables, env_hw, packed, rows, pxp, pyp, real,
-     woop, stream) = setup
+     woop, stream, _order) = setup
     h, w = material.shape[0], material.shape[1]
     interp = _interpret()
     sidx = jnp.zeros((rows, LANES), jnp.int32) + it
@@ -245,6 +250,9 @@ def render_direct_fused(
     zeros = jnp.zeros((rows, LANES), jnp.float32)
     acc, _ = jax.lax.scan(one, (zeros, zeros, zeros), start + jnp.arange(count))
     out = jnp.stack([acc[c].reshape(-1)[:n_pix] for c in range(3)], axis=-1)
+    inv = setup[11][1]
+    if inv is not None:
+        out = out[inv]  # restore the caller's pixel order
     return out / count
 
 
@@ -261,6 +269,9 @@ def render_direct_backward_fused(
     count = cfg.window_count
     start = jnp.asarray(it_start, jnp.int32)
 
+    perm = setup[11][0]
+    if perm is not None:
+        le_grad = le_grad[perm]  # match the sweep lane order
     lgr = pad_to_planes(le_grad[:, 0], rows)
     lgg = pad_to_planes(le_grad[:, 1], rows)
     lgb = pad_to_planes(le_grad[:, 2], rows)

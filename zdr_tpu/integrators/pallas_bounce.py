@@ -1383,6 +1383,41 @@ def _const_spec2(shape):
     return pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
 
 
+def spatial_lane_perm(coords):
+    """Morton-order permutation of a pixel-coordinate batch.
+
+    The MXU sweeps run one (1, LANES) ray row at a time and skip a whole
+    triangle tile when NO lane in the row can hit it (`tile_need` AABB slab
+    test / the shadow+bounce sweeps' `active` masks). In raster order every
+    512-lane row mixes hit and miss pixels, so no row ever skips anything;
+    sorting lanes along the Z-curve packs each row into a compact ~32x16
+    screen tile, making miss/dead regions whole rows that skip every tile.
+    This is the TPU analog of the SIMT warp coherence the reference gets
+    from hardware ray scheduling (OptiX, reference render.py:74).
+
+    Per-lane arithmetic is order-independent, so images are bit-identical;
+    gradients differ only by flush summation order (float reassociation).
+
+    Returns (perm, inv): coords[perm] is sweep order, out[inv] restores the
+    caller's pixel order. Cost: one argsort per device call (not per
+    sample); under jit on a static pixel grid XLA constant-folds it.
+    """
+    x = coords[:, 0].astype(jnp.uint32)
+    y = coords[:, 1].astype(jnp.uint32)
+
+    def part1by1(v):  # 16 bits -> even bit positions
+        v = (v | (v << 8)) & jnp.uint32(0x00FF00FF)
+        v = (v | (v << 4)) & jnp.uint32(0x0F0F0F0F)
+        v = (v | (v << 2)) & jnp.uint32(0x33333333)
+        v = (v | (v << 1)) & jnp.uint32(0x55555555)
+        return v
+
+    key = part1by1(x) | (part1by1(y) << 1)
+    perm = jnp.argsort(key)
+    inv = jnp.argsort(perm)
+    return perm, inv
+
+
 def pad_to_planes(x, rows):
     """(N,) array -> (rows, LANES) plane (zero padded)."""
     n = x.shape[0]

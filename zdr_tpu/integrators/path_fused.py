@@ -85,9 +85,14 @@ def fused_eligible(data: SceneData, cfg) -> bool:
 
 
 def _setup(data, material, cfg, coords, it_start):
-    from .pallas_bounce import FUSED_MAX_TRIS
+    from .pallas_bounce import FUSED_MAX_TRIS, spatial_lane_perm
     from .pallas_stream import build_stream_pack
 
+    if getattr(cfg, "lane_order", "morton") == "morton":
+        perm, inv = spatial_lane_perm(coords)
+        coords = coords[perm]
+    else:
+        perm = inv = None
     meta = data.fused_meta
     scene_pack, light_pack = build_fused_const(data, meta)
     if meta.num_tris > FUSED_MAX_TRIS:
@@ -116,7 +121,7 @@ def _setup(data, material, cfg, coords, it_start):
     start_idx = jnp.zeros((rows, LANES), jnp.int32) + win_start
     stop_idx = jnp.where(real, win_start + win_count, win_start)
     return (meta, scene_pack, tables, env_hw, packed, rows, pxp, pyp,
-            start_idx, stop_idx, woop, stream)
+            start_idx, stop_idx, woop, stream, (perm, inv))
 
 
 def _bounce(data, meta, scene_pack, tables, env_hw, packed, cfg, s, lane_live,
@@ -172,7 +177,7 @@ def render_path_fused(
 ):
     """Fused forward: spp-averaged radiance -> (n_pix, 3)."""
     (meta, scene_pack, tables, env_hw, packed, rows, pxp, pyp,
-     start_idx, stop_idx, woop, stream) = _setup(
+     start_idx, stop_idx, woop, stream, (_perm, inv)) = _setup(
         data, material, cfg, coords, it_start)
     n_pix = coords.shape[0]
     h, w = material.shape[0], material.shape[1]
@@ -257,6 +262,8 @@ def render_path_fused(
 
     out = jax.lax.while_loop(cond, body, init)
     acc = jnp.stack([out["acc"][c].reshape(-1)[:n_pix] for c in range(3)], axis=-1)
+    if inv is not None:
+        acc = acc[inv]  # restore the caller's pixel order
     return acc / win_count
 
 
@@ -271,7 +278,7 @@ def render_path_backward_fused(
     the compacted/packed flush (texture.segment_scatter_add4) drains the
     (SB, 5, N) buffer."""
     (meta, scene_pack, tables, env_hw, packed, rows, pxp, pyp,
-     start_idx, stop_idx, woop, stream) = _setup(
+     start_idx, stop_idx, woop, stream, (perm, _inv)) = _setup(
         data, material, cfg, coords, it_start)
     n_pix = coords.shape[0]
     h, w = material.shape[0], material.shape[1]
@@ -281,6 +288,8 @@ def render_path_backward_fused(
     interp = _interpret()
     material = jax.lax.stop_gradient(material)
 
+    if perm is not None:
+        le_grad = le_grad[perm]  # match the sweep lane order
     lgr = pad_to_planes(le_grad[:, 0], rows)
     lgg = pad_to_planes(le_grad[:, 1], rows)
     lgb = pad_to_planes(le_grad[:, 2], rows)

@@ -81,6 +81,11 @@ class RenderConfig:
     # TPU (per-element throughput dominates and per-lane tails idle more),
     # so default 1; kept as a tuning knob for other topologies.
     lanes_per_pixel: int = 1
+    # fused paths: order lanes along the pixel Z-curve so each 512-lane MXU
+    # sweep row is a compact screen tile — whole rows of primary misses /
+    # dead paths then skip every triangle tile (pallas_bounce.
+    # spatial_lane_perm). "morton" (default) or "linear" (raster order).
+    lane_order: str = "morton"
     # sample-window SIZE rendered by this call; 0 means the full spp range.
     # Scene.render slices big jobs into several device calls of this size
     # (identical sampling — the sampler is keyed by global spp and absolute

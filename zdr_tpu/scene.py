@@ -150,6 +150,10 @@ class Scene:
         self.fused = "auto"
         # bf16 texture-fetch table (faster gathers, <=0.4% fetch quantization)
         self.texture_bf16 = False
+        # fused lane order: "morton" packs each 512-lane sweep row into a
+        # compact screen tile (miss/dead rows then skip whole sweeps);
+        # "linear" keeps raster order (see RenderConfig.lane_order)
+        self.lane_order = "morton"
         self.emissions = emissions  # user-visible record (render.py:120)
 
     # ------------------------------------------------------------- lights
@@ -264,6 +268,7 @@ class Scene:
             splat_merge=int(self.splat_merge),
             fused=self.fused,
             texture_bf16=bool(self.texture_bf16),
+            lane_order=str(self.lane_order),
             it_count=int(it_count),
         )
 
