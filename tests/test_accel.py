@@ -265,8 +265,9 @@ class TestStackless:
         """Stream-compacted tiered traversal (sort-by-node + shrinking
         static widths) must be hit-for-hit identical to the plain
         stackless loop (it reorders lanes, never changes math). n_tiers=2
-        is the in-render default (Accel.traversal='auto'); 4 the
-        standalone-tools variant."""
+        is the in-render default (Accel.traversal='auto'); higher tier
+        counts have no public knob since round 4 but the code path stays
+        gated."""
         from zdr_tpu.accel.trace import _bvh_stackless, _bvh_stackless_tiered
 
         geom = sphere_geom(n_lat=16, n_lon=24)
@@ -299,7 +300,9 @@ class TestStackless:
             h1 = trace_closest(dataclasses.replace(a, traversal="auto"), o, d)
         finally:
             trace_mod.TIERED_MIN_RAYS = old
-        h2 = trace_closest(dataclasses.replace(a, traversal="tiered4"), o, d)
-        for h in (h1, h2):
+        for h in (h1,):
             np.testing.assert_array_equal(np.asarray(h.prim), np.asarray(h0.prim))
             np.testing.assert_allclose(np.asarray(h.t), np.asarray(h0.t), atol=1e-6)
+        # retired knobs fail loudly instead of silently falling back
+        with pytest.raises(ValueError):
+            trace_closest(dataclasses.replace(a, traversal="tiered4"), o, d)

@@ -76,6 +76,46 @@ class TestKnobsTakeEffect:
         assert not np.allclose(np.asarray(img_default), np.asarray(img_rr1))
 
 
+class TestLaneOrder:
+    def test_morton_vs_linear_identical_on_fused_path(self):
+        """lane_order only permutes sweep lanes: per-lane arithmetic is
+        order-independent, so the forward image must be bit-identical and
+        the gradient equal up to flush summation order (ADVICE r3 — a
+        regression in the inverse-permutation plumbing would scramble
+        pixels with no other signal)."""
+        import jax
+
+        tex = jnp.asarray(
+            np.random.default_rng(3).uniform(0.2, 0.8, (16, 16, 4)),
+            jnp.float32,
+        )
+
+        def render_and_grad(order):
+            scene = _cbox_scene("path")
+            scene.fused = "force"
+            scene.lane_order = order
+            img = scene.render(tex, res=(16, 16), spp=2, seed=0)
+            g = jax.grad(
+                lambda m: jnp.sum(
+                    scene.render(m, res=(16, 16), spp=2, seed=0)[..., :3]
+                )
+            )(tex)
+            return np.asarray(img), np.asarray(g)
+
+        img_m, g_m = render_and_grad("morton")
+        img_l, g_l = render_and_grad("linear")
+        np.testing.assert_array_equal(img_m, img_l)
+        np.testing.assert_allclose(g_m, g_l, rtol=1e-5, atol=1e-6)
+
+    def test_unknown_lane_order_raises(self):
+        import pytest
+
+        scene = _cbox_scene("direct")
+        scene.lane_order = "Morton"  # typo must fail loudly, not raster-fall-back
+        with pytest.raises(ValueError):
+            scene.render(MAT, res=(8, 8), spp=1, seed=0)
+
+
 class TestEmissionGating:
     def test_two_diffuse_instances_both_render(self):
         """A second non-emissive instance must shade, not go black

@@ -1,10 +1,11 @@
 """Big-mesh BVH traversal benchmark (VERDICT round-1 item 3 protocol).
 
 66k-triangle UV sphere, 262,144 primary rays: times the plain stackless
-traversal (default in render graphs) and the stream-compacted tiered
-variants (Accel.traversal: "stackless" | "auto" = 2-tier compacted cond |
-"tiered4" = 4-width switch — fastest standalone, compile-prohibitive inside
-integrator graphs on the remote-compile path).
+traversal (default in render graphs), the stream-compacted 2-tier variant
+(Accel.traversal "auto"), and the HBM-streamed MXU sweep (the round-3+
+big-mesh path). The 4-width "tiered4" switch was retired in round 4
+(compile-prohibitive inside render graphs; superseded by the streamed
+sweep).
 
 Usage: python -u tools/bench_bigmesh.py
 """
@@ -47,7 +48,7 @@ def main():
         print(f"{name:>22s}: {dt*1e3:8.1f} ms  ({n/dt/1e6:5.2f} Mrays/s)", flush=True)
 
     import dataclasses
-    for kind in ("stackless", "auto", "tiered4"):
+    for kind in ("stackless", "auto"):
         acc = dataclasses.replace(data.accel, traversal=kind)
         timeit(f"closest ({kind})", jax.jit(lambda o, d, a=acc: trace_closest(a, o, d).t), o, d)
         timeit(f"any ({kind})", jax.jit(lambda o, d, a=acc: trace_any(a, o, d, t_min=1e-4, t_max=3.0)), o, d)

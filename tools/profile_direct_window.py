@@ -104,10 +104,7 @@ def main():
     # Three extra compiles — opt-in via GLUE_SPLIT=1 to keep the default
     # run inside the tunnel's time budget.
     import os
-    if os.environ.get("GLUE_SPLIT", "0") != "1":
-        _glue_split = False
-    else:
-        _glue_split = True
+    _glue_split = os.environ.get("GLUE_SPLIT", "0") == "1"
 
     def glue_tex(ux, uy):
         return read_quads_planes(ux, uy, packed, h, w)
@@ -177,30 +174,33 @@ def main():
     print(f"k2g: {t_k2g*1e3:.2f} ms", flush=True)
 
     # merged production kernels (bounce_emit=True: shadow + bounce sweeps
-    # + shading in one kernel)
-    def k2m(*planes):
-        rp, np_, dp = planes[:24], planes[24:32], planes[32:36]
-        return df.fused_shade(
-            scene_pack, meta.num_tris, rp, np_, dp, 2, 16, h, w,
-            woop=woop, bounce_emit=True,
-        )
+    # + shading in one kernel). Two extra compiles — opt-in via
+    # MERGED_SPLIT=1 (the `sample:` row below already times the merged
+    # production sample end to end).
+    if os.environ.get("MERGED_SPLIT", "0") == "1":
+        def k2m(*planes):
+            rp, np_, dp = planes[:24], planes[24:32], planes[32:36]
+            return df.fused_shade(
+                scene_pack, meta.num_tris, rp, np_, dp, 2, 16, h, w,
+                woop=woop, bounce_emit=True,
+            )
 
-    t_k2m = inloop(k2m, *ray_planes, *nee_planes, *draws)
-    print(f"k2m (merged fwd): {t_k2m*1e3:.2f} ms", flush=True)
+        t_k2m = inloop(k2m, *ray_planes, *nee_planes, *draws)
+        print(f"k2m (merged fwd): {t_k2m*1e3:.2f} ms", flush=True)
 
-    zf = jnp.zeros((rows, L), jnp.float32)
+        zf = jnp.zeros((rows, L), jnp.float32)
 
-    def k2mg(*planes):
-        rp, np_, dp = planes[:24], planes[24:32], planes[32:36]
-        return df.fused_shade(
-            scene_pack, meta.num_tris, rp, np_, dp, 2, 16, h, w,
-            grad_planes=(real, zf, zf, zf, onesf, onesf, onesf,
-                         ux, uy, u_splat),
-            woop=woop, bounce_emit=True,
-        )
+        def k2mg(*planes):
+            rp, np_, dp = planes[:24], planes[24:32], planes[32:36]
+            return df.fused_shade(
+                scene_pack, meta.num_tris, rp, np_, dp, 2, 16, h, w,
+                grad_planes=(real, zf, zf, zf, onesf, onesf, onesf,
+                             ux, uy, u_splat),
+                woop=woop, bounce_emit=True,
+            )
 
-    t_k2mg = inloop(k2mg, *ray_planes, *nee_planes, *draws)
-    print(f"k2mg (merged grad): {t_k2mg*1e3:.2f} ms", flush=True)
+        t_k2mg = inloop(k2mg, *ray_planes, *nee_planes, *draws)
+        print(f"k2mg (merged grad): {t_k2mg*1e3:.2f} ms", flush=True)
 
     def run_sample(seed2):
         rad, gouts = df._one_sample(

@@ -356,7 +356,7 @@ TIERED_MIN_RAYS = 65536  # below this the compaction machinery isn't worth it
 
 
 def _bvh_stackless_tiered(accel: Accel, o, d, t_min, t_max, want_closest: bool,
-                          n_tiers: int = 4):
+                          n_tiers: int = 2):
     """Stackless traversal with stream compaction over tiered ray queues.
 
     The lock-step loop's cost is (max node visits over all lanes) x (full
@@ -373,10 +373,12 @@ def _bvh_stackless_tiered(accel: Accel, o, d, t_min, t_max, want_closest: bool,
     n_tiers picks the compile-time/run-time tradeoff:
       2 — widths {N, N/4} dispatched by ONE lax.cond: compiles nearly as
           fast as the plain loop, captures most of the tail win; this is
-          what renders use (traversal="auto").
-      4 — widths {N, N/2, N/4, N/8} via lax.switch: ~15% faster standalone
-          but minutes of XLA compile inside render graphs (traversal=
-          "tiered4", tools/bench_bigmesh.py).
+          what renders use (traversal="auto") and the only reachable
+          setting. (A 4-width lax.switch variant — "tiered4" in rounds
+          2-3 — measured ~15% faster standalone but cost minutes of XLA
+          compile inside render graphs; it was retired in round 4, its
+          big-mesh role superseded by the HBM-streamed MXU sweep,
+          pallas_stream.py. n_tiers > 2 remains exercisable for tests.)
     """
     N0 = o.shape[0]
     m = accel.node_packed.shape[0]
@@ -537,9 +539,11 @@ def _bvh_dispatch(accel: Accel, o, d, t_min, t_max, want_closest: bool):
                 accel, o, d, t_min, t_max, want_closest, n_tiers=2
             )
         return _bvh_stackless(accel, o, d, t_min, t_max, want_closest)
-    if kind == "tiered4":
-        return _bvh_stackless_tiered(
-            accel, o, d, t_min, t_max, want_closest, n_tiers=4
+    if kind != "stackless":
+        raise ValueError(
+            f"unknown Accel.traversal {kind!r} (expected 'auto' or "
+            "'stackless'; 'tiered4' was retired in round 4 — the "
+            "HBM-streamed sweep, accel method 'stream', covers big meshes)"
         )
     return _bvh_stackless(accel, o, d, t_min, t_max, want_closest)
 

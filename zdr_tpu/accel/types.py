@@ -71,8 +71,9 @@ class Accel:
     #   "auto"      — 2-tier compacted loop for big ray batches, plain
     #                 stackless otherwise (the in-render default)
     #   "stackless" — plain escape-link loop
-    #   "tiered4"   — 4-width lax.switch compaction: fastest standalone, but
-    #                 its compile time is prohibitive inside render graphs
+    # (a "tiered4" 4-width lax.switch variant existed in rounds 2-3; it was
+    # compile-prohibitive inside render graphs and is retired — big meshes
+    # route to the HBM-streamed MXU sweep instead, method="stream")
     traversal: str = dataclasses.field(metadata=dict(static=True), default="auto")
 
     @property

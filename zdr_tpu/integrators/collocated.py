@@ -4,11 +4,11 @@ A unit point light rides at the camera; one closest-hit, no shadow rays, no
 scene lights. The hand-written backward mirrors the reference's in-kernel
 autodiff region (collocated.py:34-57): recompute the hit, differentiate the
 shading math w.r.t. the fetched 4-vector, splat through the fast sorted-
-segment scatter (or the unbiased stochastic single-corner splat). It exists
-because jax.grad of the estimator routes the gradient through read_bsdf's
-custom_vjp, whose in-vjp scatter must use the naive duplicate-index path
-(texture.py:_read_bsdf_bwd) — that keeps the reference's texel-contention
-cliff (README.md:21) that this backward removes.
+segment scatter (or the unbiased stochastic single-corner splat). The
+generic jax.grad route through read_bsdf's custom_vjp reaches the same
+sorted contention-immune pipeline (texture.py:_read_bsdf_bwd); this
+hand-written backward remains the faster path because it also gets the
+stochastic single-corner splat and the reference's detach points.
 """
 
 from __future__ import annotations

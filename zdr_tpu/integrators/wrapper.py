@@ -86,6 +86,15 @@ class RenderConfig:
     # dead paths then skip every triangle tile (pallas_bounce.
     # spatial_lane_perm). "morton" (default) or "linear" (raster order).
     lane_order: str = "morton"
+
+    def __post_init__(self):
+        # typos like "Morton"/"zorder" would otherwise silently fall back
+        # to raster order in every `== "morton"` check (ADVICE r3)
+        if self.lane_order not in ("morton", "linear"):
+            raise ValueError(
+                f"lane_order must be 'morton' or 'linear', got "
+                f"{self.lane_order!r}"
+            )
     # sample-window SIZE rendered by this call; 0 means the full spp range.
     # Scene.render slices big jobs into several device calls of this size
     # (identical sampling — the sampler is keyed by global spp and absolute
