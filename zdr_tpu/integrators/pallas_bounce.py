@@ -587,15 +587,36 @@ def _mxu_rowdot(brows, aug):
     return jnp.sum(brows * aug, axis=0, keepdims=True)
 
 
+def _key_t_upper(best_key):
+    """Per-lane upper bound on the true best t from a packed argmin key.
+
+    key = (t_bits & ~0x1FF) | idx truncates t's low 9 mantissa bits, so the
+    winner's true t_bits <= (key & ~0x1FF) | 0x1FF; bitcasting that back is
+    an f32 >= the true best t. A tile whose slab entry tmin exceeds this
+    bound can only contain candidates with key STRICTLY above best_key
+    (their truncated t_bits >= (key & ~0x1FF) + 0x200), so culling it is
+    bit-exact. No-hit lanes (key = +inf bits) produce a NaN bound; callers
+    compare with `~(tmin > bound)` so NaN disables the cull on those lanes.
+    """
+    return jax.lax.bitcast_convert_type(
+        best_key | jnp.int32(0x1FF), jnp.float32
+    )
+
+
 def _mxu_sweep_row(gat_r, box_r, tile, n_tiles, o_aug, d_aug, t_lo, t_hi,
-                   mode, prec=None, active=None, raw=False):
+                   mode, prec=None, active=None, raw=False, seed_key=None):
     """Woop sweep of one 128-lane ray row against all triangle tiles,
     reading the transposed u/v/w woop rows from the dense gat table.
     [o_aug | d_aug] are N-stacked into ONE rhs so each tile costs 3
     comp-precision dot sets instead of 6. Each tile is slab-tested
     against its AABB (box_r) first and skipped via lax.cond when no
     active lane can hit it — for coherent rows (primaries, shadow rays
-    toward one light, fully-missed rows) most tiles never run.
+    toward one light, fully-missed rows) most tiles never run. The slab
+    test is additionally t-capped: in 'closest' mode by the running best
+    key (a tile whose slab entry lies beyond every lane's current-best t
+    upper bound cannot change any winner — a bit-exact cull, see
+    _key_t_upper), in 'any' mode by the per-lane max distance t_hi
+    (occluders past the light cannot occlude).
 
     mode 'closest': returns (miss (1,L) bool, prim (1,L) i32). The
     per-tile argmin packs the within-tile index into the low 9 mantissa
@@ -606,7 +627,11 @@ def _mxu_sweep_row(gat_r, box_r, tile, n_tiles, o_aug, d_aug, t_lo, t_hi,
     <). t resolution drops to 2^-14 relative — the same order as the
     comp sweep's own 1.6e-5 noise, and the winner's t is re-derived
     exactly afterwards (_mxu_trace_kernel), so only near-coplanar
-    winner flips are affected.
+    winner flips are affected. `seed_key` (closest mode, optional (1,L)
+    i32) pre-loads the carry with a best key found by an EARLIER sweep
+    over other triangles (the HBM-streamed chunk loop): hits from
+    previous chunks then t-cull this chunk's tiles; the returned kmin
+    equals seed_key wherever nothing closer was found.
     mode 'any': t_hi is a (1, L) per-lane max distance; returns occluded
     (1, L) bool; exits early once every active lane is occluded."""
     o = (o_aug[0:1], o_aug[1:2], o_aug[2:3])
@@ -615,7 +640,7 @@ def _mxu_sweep_row(gat_r, box_r, tile, n_tiles, o_aug, d_aug, t_lo, t_hi,
     od = jnp.concatenate([o_aug, d_aug], axis=1)  # (4, 2N)
     N = o_aug.shape[1]
 
-    def tile_need(ti, extra_mask):
+    def tile_need(ti, extra_mask, t_cap=None):
         t0 = tuple((box_r[ti, k] - o[k]) * inv[k] for k in range(3))
         t1 = tuple((box_r[ti, 3 + k] - o[k]) * inv[k] for k in range(3))
         tmin = jnp.maximum(
@@ -627,6 +652,10 @@ def _mxu_sweep_row(gat_r, box_r, tile, n_tiles, o_aug, d_aug, t_lo, t_hi,
             jnp.maximum(t0[2], t1[2]),
         )
         hit = tmin <= tmax
+        if t_cap is not None:
+            # NaN-safe: t_cap is NaN on no-hit-yet lanes (+inf key | 0x1FF),
+            # where `tmin > NaN` is False and the lane stays uncullable
+            hit = hit & ~(tmin > t_cap)
         if active is not None:
             hit = hit & active
         if extra_mask is not None:
@@ -680,7 +709,7 @@ def _mxu_sweep_row(gat_r, box_r, tile, n_tiles, o_aug, d_aug, t_lo, t_hi,
         def w_body(state):
             ti, occ = state
             occ = jax.lax.cond(
-                tile_need(ti, occ == 0),
+                tile_need(ti, occ == 0, t_hi),
                 lambda c: sweep_tile(ti, c),
                 lambda c: c,
                 occ,
@@ -693,13 +722,13 @@ def _mxu_sweep_row(gat_r, box_r, tile, n_tiles, o_aug, d_aug, t_lo, t_hi,
         return occ != 0
 
     init = (
-        jnp.full((1, N), big_i, jnp.int32),
+        jnp.full((1, N), big_i, jnp.int32) if seed_key is None else seed_key,
         jnp.zeros((1, N), jnp.int32),
     )
 
     def tile_body(ti, carry):
         return jax.lax.cond(
-            tile_need(ti, None),
+            tile_need(ti, None, _key_t_upper(carry[0])),
             lambda c: sweep_tile(ti, c),
             lambda c: c,
             carry,
@@ -1405,7 +1434,8 @@ def spatial_lane_perm(coords):
     x = coords[:, 0].astype(jnp.uint32)
     y = coords[:, 1].astype(jnp.uint32)
 
-    def part1by1(v):  # 16 bits -> even bit positions
+    def part1by1(v):  # low 16 bits -> even bit positions
+        v = v & jnp.uint32(0xFFFF)  # coords >= 65536 would corrupt keys
         v = (v | (v << 8)) & jnp.uint32(0x00FF00FF)
         v = (v | (v << 4)) & jnp.uint32(0x0F0F0F0F)
         v = (v | (v << 2)) & jnp.uint32(0x33333333)

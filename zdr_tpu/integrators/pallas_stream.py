@@ -141,9 +141,45 @@ def build_stream_pack(scene_pack, chunk: int = STREAM_CHUNK, tile=None):
 # ------------------------------------------------------------- kernels
 
 
+def _chunk_bounds(box_r):
+    """Chunk-level AABB from the resident per-tile boxes (pad tiles carry
+    inverted boxes, so an all-pad chunk stays inverted -> never slab-hit)."""
+    lo = tuple(jnp.min(box_r[:, k]) for k in range(3))
+    hi = tuple(jnp.max(box_r[:, 3 + k]) for k in range(3))
+    return lo, hi
+
+
+def _chunk_slab_any(lo, hi, o, d, active, t_cap):
+    """Any active lane's slab interval reaches [lo, hi] below t_cap?
+    (The per-row chunk cull: one slab test instead of tiles_per_chunk.)"""
+    inv = tuple(1.0 / jnp.where(c == 0.0, 1e-20, c) for c in d)
+    t0 = tuple((lo[k] - o[k]) * inv[k] for k in range(3))
+    t1 = tuple((hi[k] - o[k]) * inv[k] for k in range(3))
+    tmin = jnp.maximum(
+        jnp.maximum(jnp.minimum(t0[0], t1[0]), jnp.minimum(t0[1], t1[1])),
+        jnp.maximum(jnp.minimum(t0[2], t1[2]), 0.0),
+    )
+    tmax = jnp.minimum(
+        jnp.minimum(jnp.maximum(t0[0], t1[0]), jnp.maximum(t0[1], t1[1])),
+        jnp.maximum(t0[2], t1[2]),
+    )
+    hit = (tmin <= tmax) & active
+    if t_cap is not None:
+        hit = hit & ~(tmin > t_cap)  # NaN t_cap (no hit yet) -> no cull
+    return jnp.any(hit)
+
+
 def _stream_closest_kernel(tile: int, chunk: int, prec: str, t_lo: float,
                            *refs):
-    """One (ray_block, chunk) grid step of the streamed closest sweep."""
+    """One (ray_block, chunk) grid step of the streamed closest sweep.
+
+    Hierarchical culling (round 4): each row first slab-tests the CHUNK's
+    AABB under the row's current best-t bound (one test replaces the
+    whole tile loop for unreachable chunks), and the tile sweep is seeded
+    with the carried best key so hits from earlier chunks t-cull this
+    chunk's tiles (bit-exact — see pallas_bounce._key_t_upper)."""
+    from .pallas_bounce import _key_t_upper
+
     gat_r, box_r = refs[0], refs[1]
     (ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, act_r) = refs[2:9]
     key_o, prim_o = refs[9], refs[10]
@@ -158,24 +194,39 @@ def _stream_closest_kernel(tile: int, chunk: int, prec: str, t_lo: float,
         prim_o[:] = jnp.zeros((BLOCK_ROWS, LANES), jnp.int32)
 
     base = c * chunk
+    clo, chi = _chunk_bounds(box_r)
 
     def row(g, _):
         sl = pl.ds(g, 1)
-        o_aug = jnp.concatenate(
-            [ox_r[sl, :], oy_r[sl, :], oz_r[sl, :], ones], axis=0
-        )
-        d_aug = jnp.concatenate(
-            [dx_r[sl, :], dy_r[sl, :], dz_r[sl, :], zeros], axis=0
-        )
-        kmin, btile = _mxu_sweep_row(
-            gat_r, box_r, tile, tiles_per_chunk, o_aug, d_aug, t_lo, None,
-            "closest", prec=prec, active=(act_r[sl, :] != 0), raw=True,
-        )
+        o = (ox_r[sl, :], oy_r[sl, :], oz_r[sl, :])
+        d = (dx_r[sl, :], dy_r[sl, :], dz_r[sl, :])
+        active = act_r[sl, :] != 0
         old_key = key_o[sl, :]
-        better = kmin < old_key
-        prim_c = base + btile * tile + (kmin & 0x1FF)
-        key_o[sl, :] = jnp.where(better, kmin, old_key)
-        prim_o[sl, :] = jnp.where(better, prim_c, prim_o[sl, :])
+        t_ub = _key_t_upper(old_key)
+
+        def run(_):
+            o_aug = jnp.concatenate([*o, ones], axis=0)
+            d_aug = jnp.concatenate([*d, zeros], axis=0)
+            kmin, btile = _mxu_sweep_row(
+                gat_r, box_r, tile, tiles_per_chunk, o_aug, d_aug, t_lo,
+                None, "closest", prec=prec, active=active, raw=True,
+                seed_key=old_key,
+            )
+            better = kmin < old_key
+            prim_c = base + btile * tile + (kmin & 0x1FF)
+            return (
+                jnp.where(better, kmin, old_key),
+                jnp.where(better, prim_c, prim_o[sl, :]),
+            )
+
+        new_key, new_prim = jax.lax.cond(
+            _chunk_slab_any(clo, chi, o, d, active, t_ub),
+            run,
+            lambda _: (old_key, prim_o[sl, :]),
+            0,
+        )
+        key_o[sl, :] = new_key
+        prim_o[sl, :] = new_prim
         return 0
 
     jax.lax.fori_loop(0, BLOCK_ROWS, row, 0)
@@ -201,25 +252,28 @@ def _stream_any_kernel(tile: int, chunk: int, prec: str, t_lo: float, *refs):
 
     @pl.when(open_any)
     def _sweep():
+        clo, chi = _chunk_bounds(box_r)
+
         def row(g, _):
             sl = pl.ds(g, 1)
             active = (act_r[sl, :] != 0) & (occ_o[sl, :] == 0)
+            o = (ox_r[sl, :], oy_r[sl, :], oz_r[sl, :])
+            d = (dx_r[sl, :], dy_r[sl, :], dz_r[sl, :])
 
             def run(occ_prev):
-                o_aug = jnp.concatenate(
-                    [ox_r[sl, :], oy_r[sl, :], oz_r[sl, :], ones], axis=0
-                )
-                d_aug = jnp.concatenate(
-                    [dx_r[sl, :], dy_r[sl, :], dz_r[sl, :], zeros], axis=0
-                )
+                o_aug = jnp.concatenate([*o, ones], axis=0)
+                d_aug = jnp.concatenate([*d, zeros], axis=0)
                 occ = _mxu_sweep_row(
                     gat_r, box_r, tile, tiles_per_chunk, o_aug, d_aug,
                     t_lo, thi_r[sl, :], "any", prec=prec, active=active,
                 )
                 return occ_prev | occ.astype(jnp.int32)
 
+            # per-row chunk cull: occluders must sit below the shadow
+            # distance, so the chunk slab test is t_hi-capped too
             occ_o[sl, :] = jax.lax.cond(
-                jnp.any(active), run, lambda p: p, occ_o[sl, :]
+                _chunk_slab_any(clo, chi, o, d, active, thi_r[sl, :]),
+                run, lambda p: p, occ_o[sl, :],
             )
             return 0
 
