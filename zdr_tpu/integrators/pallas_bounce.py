@@ -587,6 +587,27 @@ def _mxu_rowdot(brows, aug):
     return jnp.sum(brows * aug, axis=0, keepdims=True)
 
 
+def _tile_uv_t(gat_r, tile, ti, od, N, prec, t_lo):
+    """Woop sweep of ONE triangle tile against a 2N-stacked [o|d] rhs.
+    Returns (ok (tile, N) bool, tq (tile, N) f32) — the shared inner body
+    of _mxu_sweep_row and the streamed worklist kernels."""
+    ts = pl.ds(ti * tile, tile)
+    ouv = _sweep_dot(gat_r[0:4, ts], od, prec)  # (tile, 2N)
+    ovv = _sweep_dot(gat_r[4:8, ts], od, prec)
+    oww = _sweep_dot(gat_r[8:12, ts], od, prec)
+    ou, du = ouv[:, :N], ouv[:, N:]
+    ov, dv = ovv[:, :N], ovv[:, N:]
+    ow, dw = oww[:, :N], oww[:, N:]
+    tq = -ow / dw  # inf/NaN on dw==0 lanes: rejected by the checks below
+    u = ou + tq * du
+    v = ov + tq * dv
+    ok = (
+        (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
+        & (tq > t_lo) & (tq < 1e30)
+    )
+    return ok, tq
+
+
 def _key_t_upper(best_key):
     """Per-lane upper bound on the true best t from a packed argmin key.
 
@@ -665,21 +686,7 @@ def _mxu_sweep_row(gat_r, box_r, tile, n_tiles, o_aug, d_aug, t_lo, t_hi,
     big_i = jnp.int32(0x7F800000)  # +inf bit pattern: above every real key
 
     def tile_uv_t(ti):
-        ts = pl.ds(ti * tile, tile)
-        ouv = _sweep_dot(gat_r[0:4, ts], od, prec)  # (tile, 2N)
-        ovv = _sweep_dot(gat_r[4:8, ts], od, prec)
-        oww = _sweep_dot(gat_r[8:12, ts], od, prec)
-        ou, du = ouv[:, :N], ouv[:, N:]
-        ov, dv = ovv[:, :N], ovv[:, N:]
-        ow, dw = oww[:, :N], oww[:, N:]
-        tq = -ow / dw  # inf/NaN on dw==0 lanes: rejected by the checks below
-        u = ou + tq * du
-        v = ov + tq * dv
-        ok = (
-            (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
-            & (tq > t_lo) & (tq < 1e30)
-        )
-        return ok, tq
+        return _tile_uv_t(gat_r, tile, ti, od, N, prec, t_lo)
 
     def sweep_tile(ti, carry):
         ok, tq = tile_uv_t(ti)

@@ -8,16 +8,25 @@ _mxu_sweep_row) is limited to FUSED_MAX_TRIS triangles by the 16 MB VMEM
 budget. This module lifts that cap by streaming the same gat table from
 HBM in chunk-sized slices over a second (innermost) grid axis:
 
-    grid = (ray_blocks, chunks)         # chunk axis fastest, sequential
-    gat chunk   : BlockSpec((48, CHUNK), (i, c) -> (0, c))   [streams]
-    ray planes  : BlockSpec((128, 128), (i, c) -> (i, 0))    [resident]
-    key/prim out: BlockSpec((128, 128), (i, c) -> (i, 0))    [revisited]
+    grid = (ray_blocks, chunk_steps)    # chunk axis fastest, sequential
+    gat chunk   : BlockSpec((48, CHUNK), (i, c) -> (0, order[i, c]))
+    ray planes  : BlockSpec((32, 512),   (i, c) -> (i, 0))  [resident]
+    key/prim out: BlockSpec((32, 512),   (i, c) -> (i, 0))  [revisited]
 
-Each chunk step runs the ordinary tiled Woop sweep (per-tile AABB culls
-included) and folds its packed argmin key into the revisited output
-block — the classic matmul-K-accumulation pattern, with min instead of
-add. Triangles are pre-sorted by Morton code so tiles stay spatially
-tight and the AABB slab tests cull effectively for coherent ray rows.
+The chunk axis is REMAPPED per ray block through scalar-prefetched
+indices: an XLA "sweep plan" (conservative interval slab tests of each
+512-lane row's frustum against every tile AABB — see _plan_sweep) sorts
+each block's reachable chunks front-to-back and hands every row a sorted
+per-chunk tile WORKLIST packed as (tmin_lb bits | tile id) keys. The
+kernel walks worklists in t order and breaks as soon as a tile's
+conservative entry t exceeds every active lane's current-best-t upper
+bound (bit-exact; pallas_bounce._key_t_upper), with per-lane scene-exit
+caps bounding lanes that never hit. Each visited tile still runs the
+per-lane t-capped slab test before any MXU work, and each swept tile
+folds its packed argmin key into the revisited output block — the
+classic matmul-K-accumulation pattern, with min instead of add.
+Triangles are pre-sorted by Morton code so tiles stay spatially tight
+and worklists stay short for coherent ray rows.
 
 The winner's attributes are NOT gathered in-kernel (the winning chunk's
 slice is long gone by the last grid step): the epilogue instead does one
@@ -139,22 +148,176 @@ def build_stream_pack(scene_pack, chunk: int = STREAM_CHUNK, tile=None):
 
 
 # ------------------------------------------------------------- kernels
+#
+# Round-4 design: per-row sorted tile WORKLISTS + front-to-back early
+# breaks, fed by an XLA "sweep plan" computed from conservative per-row
+# ray frusta (interval arithmetic over each 512-lane row's origin and
+# direction bounds):
+#
+#   plan (XLA, per sweep call):
+#     * per (row, tile): conservative slab interval -> candidate? + a
+#       LOWER bound on the slab entry t (tmin_lb)
+#     * per (row, chunk): candidate tiles packed as sorted i32 keys
+#       (tmin_lb bits | local tile id) -> the kernel visits tiles in
+#       front-to-back order and STOPS once tmin_lb exceeds every active
+#       lane's current-best-t upper bound (bit-exact: a candidate behind
+#       every lane's bound can only produce strictly worse argmin keys,
+#       see pallas_bounce._key_t_upper)
+#     * per (block, chunk): chunk visit ORDER sorted by the block's
+#       conservative chunk tmin + a chunk count -> the grid's chunk axis
+#       is remapped through scalar-prefetched indices, so each ray block
+#       streams only the chunks it can reach, nearest first, and whole
+#       grid steps skip once the block's best-t beats the chunk bound.
+#
+# Against the round-3 kernel (every ray block swept every chunk, every
+# row tested every tile): the unculled cost at 50,880 tris / 262k
+# coherent rays measured 586 ms; per-tile AABB tests + per-lane t caps
+# brought it to 185 ms; the worklist + break design is the next level of
+# the same hierarchy.
+
+# Break cap for active lanes that have not hit anything yet (their true
+# cap is the scene-exit distance, refined per lane in-kernel).
+_CAP_NOHIT = 1e28
+# Sorted-worklist sentinel: above every packed candidate key (tmin_lb is
+# clamped to [0, 1e28] before packing).
+_WL_SENT = 0x7F7FFFFF
+# Low bits of a worklist key carry the local tile id (tiles/chunk <= 128).
+_WL_IDX_BITS = 0x7F
+_WL_WIDTH = 128  # worklist entries per (row, chunk), sentinel padded
 
 
-def _chunk_bounds(box_r):
-    """Chunk-level AABB from the resident per-tile boxes (pad tiles carry
-    inverted boxes, so an all-pad chunk stays inverted -> never slab-hit)."""
-    lo = tuple(jnp.min(box_r[:, k]) for k in range(3))
-    hi = tuple(jnp.max(box_r[:, 3 + k]) for k in range(3))
-    return lo, hi
+def _plan_sweep(boxes, tile: int, chunk: int, o3, d3, act, t_hi=None):
+    """XLA sweep plan from conservative per-row frusta.
+
+    boxes: (n_tiles, 8) per-tile AABBs (pad tiles inverted). o3/d3: ray
+    component planes (rows, LANES); act: (rows, LANES) i32. t_hi: optional
+    per-lane max distance (occlusion sweeps) — tiles past every active
+    lane's t_hi are not candidates.
+
+    Returns (order, cnt, ctmin, wl, sbox):
+      order (n_blocks, C) i32 — chunk visit order, front-to-back by the
+            block's conservative chunk tmin; tail entries clamp to the
+            last real chunk so the pipeline re-uses its DMA.
+      cnt   (n_blocks,) i32 — chunks this block actually visits.
+      ctmin (n_blocks, C) i32 — f32 bits of each visited chunk's
+            conservative tmin (sorted ascending; block-level break key).
+      wl    (rows, C * 128) i32 — per (row, chunk) sorted packed keys
+            (tmin_lb bits & ~0x7F) | local_tile_id; _WL_SENT padded.
+      sbox  (8, 128) f32 — scene AABB in [0, 0:6] (per-lane exit caps).
+    """
+    rows = o3[0].shape[0]
+    nb = rows // BLOCK_ROWS
+    n_tiles = boxes.shape[0]
+    tpc = chunk // tile
+    C = n_tiles // tpc
+    if tpc > _WL_WIDTH:
+        raise ValueError(f"tiles/chunk {tpc} exceeds worklist width")
+    if C > 256:
+        raise ValueError(f"chunk count {C} exceeds order-key capacity")
+    f32, i32 = jnp.float32, jnp.int32
+    on = act != 0
+    big = jnp.float32(1e30)
+
+    def r_lo(x):
+        return jnp.min(jnp.where(on, x, big), axis=1)
+
+    def r_hi(x):
+        return jnp.max(jnp.where(on, x, -big), axis=1)
+
+    o_lo = [r_lo(o3[k]) for k in range(3)]
+    o_hi = [r_hi(o3[k]) for k in range(3)]
+    d_lo = [r_lo(d3[k]) for k in range(3)]
+    d_hi = [r_hi(d3[k]) for k in range(3)]
+
+    lo = boxes[:, 0:3]
+    hi = boxes[:, 3:6]
+    tmin_lb = jnp.zeros((rows, n_tiles), f32)
+    tmax_ub = jnp.full((rows, n_tiles), big, f32)
+    for k in range(3):
+        e = (lo[None, :, k], hi[None, :, k])
+        oo = (o_lo[k][:, None], o_hi[k][:, None])
+        dl, dh = d_lo[k], d_hi[k]
+        i1 = (1.0 / jnp.where(dl == 0, 1e-20, dl))[:, None]
+        i2 = (1.0 / jnp.where(dh == 0, 1e-20, dh))[:, None]
+        ax_lo = jnp.full((rows, n_tiles), big, f32)
+        ax_hi = -ax_lo
+        for edge in e:
+            for oe in oo:
+                a = edge - oe
+                for inv in (i1, i2):
+                    p = a * inv
+                    ax_lo = jnp.minimum(ax_lo, p)
+                    ax_hi = jnp.maximum(ax_hi, p)
+        span0 = ((dl <= 0) & (dh >= 0))[:, None]
+        ax_lo = jnp.where(span0, -big, ax_lo)
+        ax_hi = jnp.where(span0, big, ax_hi)
+        tmin_lb = jnp.maximum(tmin_lb, ax_lo)
+        tmax_ub = jnp.minimum(tmax_ub, ax_hi)
+    hit = (tmin_lb <= tmax_ub) & (tmax_ub >= 0.0)
+    # rows with no active lane have inverted (garbage) intervals: no tiles
+    hit = hit & jnp.any(on, axis=1)[:, None]
+    if t_hi is not None:
+        cap_row = jnp.max(jnp.where(on, t_hi, -big), axis=1)
+        hit = hit & (tmin_lb <= cap_row[:, None])
+    tl = jnp.clip(tmin_lb, 0.0, _CAP_NOHIT)
+    kb = jax.lax.bitcast_convert_type(tl, i32)
+    local = (jnp.arange(n_tiles, dtype=i32) % tpc)[None, :]
+    keys = jnp.where(hit, (kb & ~_WL_IDX_BITS) | local, _WL_SENT)
+    keys = keys.reshape(rows, C, tpc)
+    if tpc < _WL_WIDTH:
+        keys = jnp.pad(
+            keys, ((0, 0), (0, 0), (0, _WL_WIDTH - tpc)),
+            constant_values=_WL_SENT,
+        )
+    wl = jnp.sort(keys, axis=-1).reshape(rows, C * _WL_WIDTH)
+
+    hit_c = hit.reshape(rows, C, tpc).any(-1)
+    tmin_c = jnp.min(
+        jnp.where(hit.reshape(rows, C, tpc), tl.reshape(rows, C, tpc), big),
+        axis=-1,
+    )
+    bhit = hit_c.reshape(nb, BLOCK_ROWS, C).any(1)
+    btmin = jnp.clip(
+        jnp.min(tmin_c.reshape(nb, BLOCK_ROWS, C), axis=1), 0.0, _CAP_NOHIT
+    )
+    bkb = jax.lax.bitcast_convert_type(btmin, i32)
+    bkeys = jnp.where(bhit, (bkb & ~0xFF) | jnp.arange(C, dtype=i32), _WL_SENT)
+    bsort = jnp.sort(bkeys, axis=-1)
+    cnt = jnp.sum(bhit, axis=-1).astype(i32)
+    order = bsort & 0xFF
+    last = jnp.take_along_axis(
+        order, jnp.maximum(cnt - 1, 0)[:, None], axis=1
+    )
+    steps = jnp.arange(C, dtype=i32)[None, :]
+    order = jnp.where(steps < cnt[:, None], order, last)
+    ctmin = bsort & ~0xFF
+
+    sbox = jnp.zeros((8, 128), f32)
+    real = boxes[:, 0] <= boxes[:, 3]  # inverted pad boxes excluded
+    s_lo = jnp.min(jnp.where(real[:, None], lo, big), axis=0)
+    s_hi = jnp.max(jnp.where(real[:, None], hi, -big), axis=0)
+    sbox = sbox.at[0, 0:3].set(s_lo).at[0, 3:6].set(s_hi)
+    return order, cnt, ctmin, wl, sbox
 
 
-def _chunk_slab_any(lo, hi, o, d, active, t_cap):
-    """Any active lane's slab interval reaches [lo, hi] below t_cap?
-    (The per-row chunk cull: one slab test instead of tiles_per_chunk.)"""
+def _exit_cap(sbox_r, o, d):
+    """Per-lane scene-exit t bound (inflated for f32 slab rounding): no
+    triangle hit can lie beyond the ray's exit from the scene AABB."""
     inv = tuple(1.0 / jnp.where(c == 0.0, 1e-20, c) for c in d)
-    t0 = tuple((lo[k] - o[k]) * inv[k] for k in range(3))
-    t1 = tuple((hi[k] - o[k]) * inv[k] for k in range(3))
+    t1 = tuple(
+        jnp.maximum(
+            (sbox_r[0, k] - o[k]) * inv[k], (sbox_r[0, 3 + k] - o[k]) * inv[k]
+        )
+        for k in range(3)
+    )
+    exit_t = jnp.minimum(jnp.minimum(t1[0], t1[1]), t1[2])
+    return exit_t * 1.001 + 1e-3
+
+
+def _tile_lane_need(box_r, ti, o, d, inv, active, t_cap):
+    """Per-lane slab test of one tile under a per-lane t cap (NaN-safe)."""
+    t0 = tuple((box_r[ti, k] - o[k]) * inv[k] for k in range(3))
+    t1 = tuple((box_r[ti, 3 + k] - o[k]) * inv[k] for k in range(3))
     tmin = jnp.maximum(
         jnp.maximum(jnp.minimum(t0[0], t1[0]), jnp.minimum(t0[1], t1[1])),
         jnp.maximum(jnp.minimum(t0[2], t1[2]), 0.0),
@@ -165,137 +328,243 @@ def _chunk_slab_any(lo, hi, o, d, active, t_cap):
     )
     hit = (tmin <= tmax) & active
     if t_cap is not None:
-        hit = hit & ~(tmin > t_cap)  # NaN t_cap (no hit yet) -> no cull
+        hit = hit & ~(tmin > t_cap)
     return jnp.any(hit)
 
 
 def _stream_closest_kernel(tile: int, chunk: int, prec: str, t_lo: float,
                            *refs):
-    """One (ray_block, chunk) grid step of the streamed closest sweep.
+    """One (ray_block, ordered-chunk) grid step of the streamed closest
+    sweep: per-row front-to-back worklist walk with early break."""
+    from .pallas_bounce import _key_t_upper, _tile_uv_t
 
-    Hierarchical culling (round 4): each row first slab-tests the CHUNK's
-    AABB under the row's current best-t bound (one test replaces the
-    whole tile loop for unreachable chunks), and the tile sweep is seeded
-    with the carried best key so hits from earlier chunks t-cull this
-    chunk's tiles (bit-exact — see pallas_bounce._key_t_upper)."""
-    from .pallas_bounce import _key_t_upper
-
-    gat_r, box_r = refs[0], refs[1]
-    (ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, act_r) = refs[2:9]
-    key_o, prim_o = refs[9], refs[10]
+    order_ref, cnt_ref, ctmin_ref = refs[0], refs[1], refs[2]
+    gat_r, box_r, wl_r, sbox_r = refs[3], refs[4], refs[5], refs[6]
+    (ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, act_r) = refs[7:14]
+    key_o, prim_o = refs[14], refs[15]
+    i = pl.program_id(0)
     c = pl.program_id(1)
-    tiles_per_chunk = chunk // tile
     ones = jnp.ones((1, LANES), jnp.float32)
     zeros = jnp.zeros((1, LANES), jnp.float32)
+    f32, i32 = jnp.float32, jnp.int32
 
     @pl.when(c == 0)
     def _init():
-        key_o[:] = jnp.full((BLOCK_ROWS, LANES), _BIG_KEY, jnp.int32)
-        prim_o[:] = jnp.zeros((BLOCK_ROWS, LANES), jnp.int32)
+        key_o[:] = jnp.full((BLOCK_ROWS, LANES), _BIG_KEY, i32)
+        prim_o[:] = jnp.zeros((BLOCK_ROWS, LANES), i32)
 
-    base = c * chunk
-    clo, chi = _chunk_bounds(box_r)
+    # block-level break: the chunk's conservative tmin (sorted ascending
+    # across the visit order) vs every active lane's current best-t bound.
+    # Both sides are NONNEGATIVE-float bit patterns, so the comparison runs
+    # in int space (bit order == float order; Mosaic has no scalar bitcast).
+    # No-hit lanes carry key|0x1FF = 0x7F8001FF, which int-compares above
+    # every real tmin — the "+inf, keep all chunks alive" behavior.
+    int_min = jnp.int32(-(2**31))
+    cap_bits = jnp.max(
+        jnp.where(act_r[:] != 0, key_o[:] | jnp.int32(0x1FF), int_min)
+    )
 
-    def row(g, _):
-        sl = pl.ds(g, 1)
-        o = (ox_r[sl, :], oy_r[sl, :], oz_r[sl, :])
-        d = (dx_r[sl, :], dy_r[sl, :], dz_r[sl, :])
-        active = act_r[sl, :] != 0
-        old_key = key_o[sl, :]
-        t_ub = _key_t_upper(old_key)
-
-        def run(_):
-            o_aug = jnp.concatenate([*o, ones], axis=0)
-            d_aug = jnp.concatenate([*d, zeros], axis=0)
-            kmin, btile = _mxu_sweep_row(
-                gat_r, box_r, tile, tiles_per_chunk, o_aug, d_aug, t_lo,
-                None, "closest", prec=prec, active=active, raw=True,
-                seed_key=old_key,
-            )
-            better = kmin < old_key
-            prim_c = base + btile * tile + (kmin & 0x1FF)
-            return (
-                jnp.where(better, kmin, old_key),
-                jnp.where(better, prim_c, prim_o[sl, :]),
-            )
-
-        new_key, new_prim = jax.lax.cond(
-            _chunk_slab_any(clo, chi, o, d, active, t_ub),
-            run,
-            lambda _: (old_key, prim_o[sl, :]),
-            0,
-        )
-        key_o[sl, :] = new_key
-        prim_o[sl, :] = new_prim
-        return 0
-
-    jax.lax.fori_loop(0, BLOCK_ROWS, row, 0)
-
-
-def _stream_any_kernel(tile: int, chunk: int, prec: str, t_lo: float, *refs):
-    """One (ray_block, chunk) grid step of the streamed occlusion sweep."""
-    gat_r, box_r = refs[0], refs[1]
-    (ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, thi_r, act_r) = refs[2:10]
-    occ_o = refs[10]
-    c = pl.program_id(1)
-    tiles_per_chunk = chunk // tile
-    ones = jnp.ones((1, LANES), jnp.float32)
-    zeros = jnp.zeros((1, LANES), jnp.float32)
-
-    @pl.when(c == 0)
-    def _init():
-        occ_o[:] = jnp.zeros((BLOCK_ROWS, LANES), jnp.int32)
-
-    # whole-block early exit: once every active lane in the block is
-    # occluded, the remaining chunk steps do no sweep work
-    open_any = jnp.any((act_r[:] != 0) & (occ_o[:] == 0))
-
-    @pl.when(open_any)
-    def _sweep():
-        clo, chi = _chunk_bounds(box_r)
+    @pl.when((c < cnt_ref[i]) & (ctmin_ref[i, c] <= cap_bits))
+    def _body():
+        base = order_ref[i, c] * chunk
 
         def row(g, _):
             sl = pl.ds(g, 1)
-            active = (act_r[sl, :] != 0) & (occ_o[sl, :] == 0)
             o = (ox_r[sl, :], oy_r[sl, :], oz_r[sl, :])
             d = (dx_r[sl, :], dy_r[sl, :], dz_r[sl, :])
-
-            def run(occ_prev):
-                o_aug = jnp.concatenate([*o, ones], axis=0)
-                d_aug = jnp.concatenate([*d, zeros], axis=0)
-                occ = _mxu_sweep_row(
-                    gat_r, box_r, tile, tiles_per_chunk, o_aug, d_aug,
-                    t_lo, thi_r[sl, :], "any", prec=prec, active=active,
-                )
-                return occ_prev | occ.astype(jnp.int32)
-
-            # per-row chunk cull: occluders must sit below the shadow
-            # distance, so the chunk slab test is t_hi-capped too
-            occ_o[sl, :] = jax.lax.cond(
-                _chunk_slab_any(clo, chi, o, d, active, thi_r[sl, :]),
-                run, lambda p: p, occ_o[sl, :],
+            active = act_r[sl, :] != 0
+            inv = tuple(1.0 / jnp.where(x == 0.0, 1e-20, x) for x in d)
+            exit_cap = jnp.maximum(_exit_cap(sbox_r, o, d), 0.0)
+            exit_bits = jax.lax.bitcast_convert_type(exit_cap, i32)
+            od = jnp.concatenate(
+                [jnp.concatenate([*o, ones], axis=0),
+                 jnp.concatenate([*d, zeros], axis=0)], axis=1
             )
+
+            # the row's worklist as one (1, 128) vector: Mosaic only allows
+            # dynamic indices on the sublane axis, so the j-th entry is
+            # extracted by a masked lane reduce (keys are nonnegative)
+            wlv = wl_r[sl, :]
+            lane_iota = jax.lax.broadcasted_iota(i32, (1, _WL_WIDTH), 1)
+
+            def wl_at(j):
+                return jnp.max(jnp.where(lane_iota == j, wlv, int_min))
+
+            def cap_bits_of(bk):
+                # int-space per-lane cap: min(best-t upper bound, scene
+                # exit); no-hit lanes' 0x7F8001FF naturally yields the exit
+                capv = jnp.minimum(bk | jnp.int32(0x1FF), exit_bits)
+                return jnp.max(jnp.where(active, capv, int_min))
+
+            def wcond(st):
+                j, cap, _bk, _bp = st
+                tmin_bits = wl_at(j) & ~_WL_IDX_BITS
+                return (j < _WL_WIDTH) & (tmin_bits <= cap)
+
+            def wbody(st):
+                j, cap, bk, bp = st
+                kj = wl_at(j)
+                ti = kj & _WL_IDX_BITS
+
+                def sweep(args):
+                    _cap, bk, bp = args
+                    ok, tq = _tile_uv_t(gat_r, tile, ti, od, LANES, prec,
+                                        t_lo)
+                    t_bits = jax.lax.bitcast_convert_type(tq, i32)
+                    idx = jax.lax.broadcasted_iota(i32, ok.shape, 0)
+                    key = jnp.where(
+                        ok, (t_bits & jnp.int32(~0x1FF)) | idx,
+                        jnp.int32(_BIG_KEY),
+                    )
+                    kmin = jnp.min(key, axis=0, keepdims=True)
+                    better = kmin < bk
+                    prim = base + ti * tile + (kmin & 0x1FF)
+                    bk = jnp.where(better, kmin, bk)
+                    # the cap only tightens when a sweep improves a key
+                    return (
+                        cap_bits_of(bk), bk, jnp.where(better, prim, bp),
+                    )
+
+                ub = _key_t_upper(bk)  # NaN on no-hit lanes
+                t_cap = jnp.where(
+                    jnp.isnan(ub), exit_cap, jnp.minimum(ub, exit_cap)
+                )
+                cap, bk, bp = jax.lax.cond(
+                    _tile_lane_need(box_r, ti, o, d, inv, active, t_cap),
+                    sweep, lambda a: a, (cap, bk, bp),
+                )
+                return j + 1, cap, bk, bp
+
+            bk0 = key_o[sl, :]
+            _, _, bk, bp = jax.lax.while_loop(
+                wcond, wbody,
+                (jnp.int32(0), cap_bits_of(bk0), bk0, prim_o[sl, :]),
+            )
+            key_o[sl, :] = bk
+            prim_o[sl, :] = bp
             return 0
 
         jax.lax.fori_loop(0, BLOCK_ROWS, row, 0)
 
 
-def _gat_spec(chunk):
-    return pl.BlockSpec(
-        (_gat_rows(), chunk), lambda i, c: (0, c), memory_space=pltpu.VMEM
-    )
+def _stream_any_kernel(tile: int, chunk: int, prec: str, t_lo: float, *refs):
+    """One (ray_block, ordered-chunk) grid step of the streamed occlusion
+    sweep: per-row worklist walk, early-exit once every lane is occluded."""
+    from .pallas_bounce import _tile_uv_t
+
+    order_ref, cnt_ref, ctmin_ref = refs[0], refs[1], refs[2]
+    gat_r, box_r, wl_r, sbox_r = refs[3], refs[4], refs[5], refs[6]
+    (ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, thi_r, act_r) = refs[7:15]
+    occ_o = refs[15]
+    i = pl.program_id(0)
+    c = pl.program_id(1)
+    ones = jnp.ones((1, LANES), jnp.float32)
+    zeros = jnp.zeros((1, LANES), jnp.float32)
+    f32, i32 = jnp.float32, jnp.int32
+
+    @pl.when(c == 0)
+    def _init():
+        occ_o[:] = jnp.zeros((BLOCK_ROWS, LANES), i32)
+
+    open_any = jnp.any((act_r[:] != 0) & (occ_o[:] == 0))
+
+    @pl.when((c < cnt_ref[i]) & open_any)
+    def _body():
+        # (ctmin_ref is unused here: occlusion has no t ordering to break on)
+
+        def row(g, _):
+            sl = pl.ds(g, 1)
+            o = (ox_r[sl, :], oy_r[sl, :], oz_r[sl, :])
+            d = (dx_r[sl, :], dy_r[sl, :], dz_r[sl, :])
+            thi = thi_r[sl, :]
+            act = act_r[sl, :] != 0
+            inv = tuple(1.0 / jnp.where(x == 0.0, 1e-20, x) for x in d)
+            thi_bits = jax.lax.bitcast_convert_type(
+                jnp.maximum(thi, 0.0), i32
+            )
+            int_min = jnp.int32(-(2**31))
+            od = jnp.concatenate(
+                [jnp.concatenate([*o, ones], axis=0),
+                 jnp.concatenate([*d, zeros], axis=0)], axis=1
+            )
+
+            wlv = wl_r[sl, :]
+            lane_iota = jax.lax.broadcasted_iota(i32, (1, _WL_WIDTH), 1)
+
+            def wl_at(j):
+                return jnp.max(jnp.where(lane_iota == j, wlv, int_min))
+
+            def wcond(st):
+                j, occ = st
+                open_ = act & (occ == 0)
+                # int-space compare (nonneg-float bit order == float order)
+                cap_bits = jnp.max(jnp.where(open_, thi_bits, int_min))
+                tmin_bits = wl_at(j) & ~_WL_IDX_BITS
+                return (j < _WL_WIDTH) & (tmin_bits <= cap_bits)
+
+            def wbody(st):
+                j, occ = st
+                ti = wl_at(j) & _WL_IDX_BITS
+                open_ = act & (occ == 0)
+
+                def sweep(occ):
+                    ok, tq = _tile_uv_t(gat_r, tile, ti, od, LANES, prec,
+                                        t_lo)
+                    hit = ok & (tq < thi)
+                    return occ | jnp.any(hit, axis=0, keepdims=True
+                                         ).astype(i32)
+
+                occ = jax.lax.cond(
+                    _tile_lane_need(box_r, ti, o, d, inv, open_, thi),
+                    sweep, lambda x: x, occ,
+                )
+                return j + 1, occ
+
+            _, occ = jax.lax.while_loop(
+                wcond, wbody, (jnp.int32(0), occ_o[sl, :])
+            )
+            occ_o[sl, :] = occ
+            return 0
+
+        jax.lax.fori_loop(0, BLOCK_ROWS, row, 0)
 
 
-def _box_spec(tiles_per_chunk):
-    return pl.BlockSpec(
-        (tiles_per_chunk, 8), lambda i, c: (c, 0), memory_space=pltpu.VMEM
-    )
+# ------------------------------------------------- grid specs / wrappers
 
 
-def _ray_spec2():
-    return pl.BlockSpec(
-        (BLOCK_ROWS, LANES), lambda i, c: (i, 0), memory_space=pltpu.VMEM
-    )
+def _stream_specs(chunk: int, tpc: int, n_ray_planes: int, n_out: int):
+    """(in_specs, out_specs) for the worklist kernels. All index maps see
+    the 3 scalar-prefetch refs (order, cnt, ctmin) as trailing args; the
+    gat/box/worklist blocks follow the block's chunk visit order."""
+
+    def by_order_gat(i, c, order, cnt, ctmin):
+        return (0, order[i, c])
+
+    def by_order_box(i, c, order, cnt, ctmin):
+        return (order[i, c], 0)
+
+    def by_order_wl(i, c, order, cnt, ctmin):
+        return (i, order[i, c])
+
+    def by_block(i, c, order, cnt, ctmin):
+        return (i, 0)
+
+    def const(i, c, order, cnt, ctmin):
+        return (0, 0)
+
+    v = pltpu.VMEM
+    in_specs = [
+        pl.BlockSpec((_gat_rows(), chunk), by_order_gat, memory_space=v),
+        pl.BlockSpec((tpc, 8), by_order_box, memory_space=v),
+        pl.BlockSpec((BLOCK_ROWS, _WL_WIDTH), by_order_wl, memory_space=v),
+        pl.BlockSpec((8, 128), const, memory_space=v),
+    ] + [
+        pl.BlockSpec((BLOCK_ROWS, LANES), by_block, memory_space=v)
+    ] * n_ray_planes
+    out_specs = [
+        pl.BlockSpec((BLOCK_ROWS, LANES), by_block, memory_space=v)
+    ] * n_out
+    return in_specs, out_specs
 
 
 def stream_closest(stream_pack, rays7, interpret=False, t_lo: float = 0.0):
@@ -303,20 +572,24 @@ def stream_closest(stream_pack, rays7, interpret=False, t_lo: float = 0.0):
     planes. Returns (miss bool plane, prim i32 plane) — prim indexes the
     pack's Morton-sorted scene table. t_lo is a static float."""
     gat, boxes, t_pad, tile, chunk = stream_pack[:5]
+    o3, d3, act = rays7[0:3], rays7[3:6], rays7[6]
+    order, cnt, ctmin, wl, sbox = _plan_sweep(boxes, tile, chunk, o3, d3, act)
     r = rays7[0].shape[0]
     grid = (r // BLOCK_ROWS, t_pad // chunk)
     prec = "highest" if interpret else MXU_PRECISION
+    in_specs, out_specs = _stream_specs(chunk, chunk // tile, 7, 2)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3, grid=grid,
+        in_specs=in_specs, out_specs=out_specs,
+    )
     key, prim = pl.pallas_call(
         functools.partial(
             _stream_closest_kernel, tile, chunk, prec, float(t_lo)
         ),
-        grid=grid,
-        in_specs=[_gat_spec(chunk), _box_spec(chunk // tile)]
-        + [_ray_spec2()] * 7,
-        out_specs=[_ray_spec2()] * 2,
+        grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((r, LANES), jnp.int32)] * 2,
         interpret=interpret,
-    )(gat, boxes, *rays7)
+    )(order, cnt, ctmin, gat, boxes, wl, sbox, *rays7)
     return key == _BIG_KEY, prim
 
 
@@ -326,18 +599,24 @@ def stream_any(stream_pack, rays8, interpret=False, t_lo: float = 1e-4):
     (path.py parity). Returns an i32 occlusion plane suitable for
     fused_shade(occ_in=...)."""
     gat, boxes, t_pad, tile, chunk = stream_pack[:5]
+    o3, d3, thi, act = rays8[0:3], rays8[3:6], rays8[6], rays8[7]
+    order, cnt, ctmin, wl, sbox = _plan_sweep(
+        boxes, tile, chunk, o3, d3, act, t_hi=thi
+    )
     r = rays8[0].shape[0]
     grid = (r // BLOCK_ROWS, t_pad // chunk)
     prec = "highest" if interpret else MXU_PRECISION
+    in_specs, out_specs = _stream_specs(chunk, chunk // tile, 8, 1)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3, grid=grid,
+        in_specs=in_specs, out_specs=out_specs,
+    )
     (occ,) = pl.pallas_call(
         functools.partial(_stream_any_kernel, tile, chunk, prec, float(t_lo)),
-        grid=grid,
-        in_specs=[_gat_spec(chunk), _box_spec(chunk // tile)]
-        + [_ray_spec2()] * 8,
-        out_specs=[_ray_spec2()],
+        grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((r, LANES), jnp.int32)],
         interpret=interpret,
-    )(gat, boxes, *rays8)
+    )(order, cnt, ctmin, gat, boxes, wl, sbox, *rays8)
     return occ
 
 
