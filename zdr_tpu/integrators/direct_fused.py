@@ -49,6 +49,7 @@ from .fused_glue import (
     bounce_draws,
     build_glue_tables,
     env_miss_add_planes,
+    light_hit_planes,
     sample_light_planes,
     start_sample_planes,
 )
@@ -193,26 +194,52 @@ def _one_sample(data, material, camera, seed, cfg, setup, it, want_grad,
     (radr, radg, radb, bnr, bng, bnb, pdfb,
      nox, noy, noz, ndx, ndy, ndz, alive_i) = k2[:14]
     occ = occ_s if stream is not None else (k2[14] if want_grad else None)
-    # the bounce emitter lookup only consumes add_emit + miss: the lite
-    # kernel skips the interaction epilogue and 12 plane writes
     if stream is not None:
-        (b_aer, b_aeg, b_aeb, b_miss) = stream_trace_interact(
-            stream, (nox, noy, noz, ndx, ndy, ndz, pdfb, alive_i),
-            interpret=interp, lite=True,
+        # emissive-first bounce lookup: direct lighting only consumes the
+        # bounce ray's EMITTER radiance, so the full-scene incoherent
+        # closest sweep is replaced by a tiny light-triangle closest hit
+        # (fused_glue.light_hit_planes) plus ONE t-capped occlusion sweep.
+        # Lanes that reach no light leave the occlusion sweep's active set
+        # unless an env map needs their escape test (t_hi = +inf then).
+        bo = (nox, noy, noz)
+        bd = (ndx, ndy, ndz)
+        t_e, (b_aer, b_aeg, b_aeb), has = light_hit_planes(
+            meta, tables, bd, bo, pdfb, alive_i
         )
+        thi = 0.9999 * t_e  # NEE shadow epsilon (lights.py parity)
+        b_act = alive_i * has if meta.n_env == 0 else alive_i
+        if meta.n_env > 0:
+            thi = jnp.where(has != 0, thi, jnp.float32(1e30))
+        occ_b = stream_any(
+            stream, (*bo, *bd, thi, b_act), interpret=interp, t_lo=0.0
+        )
+        clear = occ_b == 0
+        b_aer = jnp.where(clear, b_aer, 0.0)
+        b_aeg = jnp.where(clear, b_aeg, 0.0)
+        b_aeb = jnp.where(clear, b_aeb, 0.0)
+        if meta.n_env > 0:
+            escaped = (alive_i != 0) & (has == 0) & clear
+            er, eg, eb = env_miss_add_planes(
+                meta, tables, env_hw, bd, pdfb, escaped
+            )
+            b_aer = b_aer + er
+            b_aeg = b_aeg + eg
+            b_aeb = b_aeb + eb
     else:
+        # the bounce emitter lookup only consumes add_emit + miss: the
+        # lite kernel skips the interaction epilogue and 12 plane writes
         (b_aer, b_aeg, b_aeb, b_miss) = fused_trace_interact(
             scene_pack, meta.num_tris,
             (nox, noy, noz, ndx, ndy, ndz, pdfb, alive_i),
             interpret=interp, woop=woop, lite=True,
         )
-    if meta.n_env > 0:
-        er, eg, eb = env_miss_add_planes(
-            meta, tables, env_hw, (ndx, ndy, ndz), pdfb, b_miss != 0
-        )
-        b_aer = b_aer + er
-        b_aeg = b_aeg + eg
-        b_aeb = b_aeb + eb
+        if meta.n_env > 0:
+            er, eg, eb = env_miss_add_planes(
+                meta, tables, env_hw, (ndx, ndy, ndz), pdfb, b_miss != 0
+            )
+            b_aer = b_aer + er
+            b_aeg = b_aeg + eg
+            b_aeb = b_aeb + eb
     rad = (radr + bnr * b_aer, radg + bng * b_aeg, radb + bnb * b_aeb)
     if not want_grad:
         return rad, None

@@ -44,7 +44,9 @@ class GlueTables(NamedTuple):
     construction out of the bounce loop). Entries for absent light kinds are
     minimal dummies so the pytree structure is stable."""
 
-    light_pack: jnp.ndarray  # (L_pad, 16) per light-TRIANGLE rows
+    light_pack: jnp.ndarray  # (L_pad, 25) per light-TRIANGLE rows (cols
+    # 0:16 = v0/e1/e2/em/ng/inv_pdf for NEE; 16:25 = n0/dn1/dn2 for the
+    # emissive-first bounce lookup's shading-normal test)
     light_inst: jnp.ndarray  # (max(n_lights,1), 2) f32 [tri_offset, tri_count]
     point_pack: jnp.ndarray  # (max(n_point,1), 8) f32 [pos3, intensity3, 0, 0]
     env_alias: jnp.ndarray  # (hm + hm*wm, 2) f32 [prob, alias_idx bits]
@@ -374,6 +376,91 @@ def sample_light_planes(meta, tables: GlueTables, env_hw, p, smp):
         ev = tuple(jnp.where(is_env, e_rad[c], ev[c]) for c in range(3))
 
     return (wi, dist, pdf, ev), smp
+
+
+def light_hit_planes(meta, tables: GlueTables, d_planes, o_planes, pdf_prev,
+                     active_i):
+    """Closest hit over the LIGHT triangles only, with the emitter-hit MIS
+    epilogue (pallas_bounce._emitter_epilogue parity, reference
+    direct.py:58-83's BSDF-branch emitter weighting).
+
+    The streamed direct integrator's bounce emitter lookup uses this tiny
+    per-light-triangle sweep (L is a handful of triangles) plus ONE
+    t-capped occlusion sweep instead of a full-scene closest trace: a
+    bounce ray contributes iff its closest EMISSIVE hit is unoccluded, and
+    lanes that reach no light at all drop out of the occlusion sweep's
+    active set entirely (on big meshes most bounce rays miss the lights,
+    so the expensive incoherent closest sweep collapses to a cheap
+    mostly-inactive any sweep).
+
+    Returns (t_e, (er, eg, eb), has_i32): the radiance assumes the path to
+    the light is CLEAR — callers mask it with an occlusion sweep capped at
+    0.9999 * t_e (the NEE shadow epsilon, lights.py parity).
+    """
+    L = len(meta.light_tri_ids)
+    o, d = o_planes, d_planes
+    act = active_i != 0
+    big = jnp.float32(1e30)
+    zero = jnp.zeros_like(o[0])
+    if L == 0:
+        zi = jnp.zeros_like(active_i)
+        return zero + big, (zero, zero, zero), zi
+    lp = tables.light_pack
+
+    def cross(a, b):
+        return (a[1] * b[2] - a[2] * b[1], a[2] * b[0] - a[0] * b[2],
+                a[0] * b[1] - a[1] * b[0])
+
+    def dot(a, b):
+        return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+    best_t = zero + big
+    best_j = jnp.zeros_like(active_i)
+    bu = zero
+    bv = zero
+    for j in range(L):
+        p0 = (lp[j, 0], lp[j, 1], lp[j, 2])
+        e1 = (lp[j, 3], lp[j, 4], lp[j, 5])
+        e2 = (lp[j, 6], lp[j, 7], lp[j, 8])
+        h = cross(d, e2)
+        a = dot(e1, h)
+        f = jnp.where(jnp.abs(a) > 1e-12,
+                      1.0 / jnp.where(a == 0, 1.0, a), 0.0)
+        s = (o[0] - p0[0], o[1] - p0[1], o[2] - p0[2])
+        u = f * dot(s, h)
+        q = cross(s, e1)
+        v = f * dot(d, q)
+        t = f * dot(e2, q)
+        ok = (
+            (jnp.abs(a) > 1e-12)
+            & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
+            & (t > 0.0) & (t < best_t)
+        )
+        best_t = jnp.where(ok, t, best_t)
+        best_j = jnp.where(ok, j, best_j)
+        bu = jnp.where(ok, u, bu)
+        bv = jnp.where(ok, v, bv)
+    has = act & (best_t < big)
+
+    cols = _select_rows(lp, best_j, L, 25)
+    ng = (cols[12], cols[13], cols[14])
+    em = (cols[9], cols[10], cols[11])
+    inv_pdfc = cols[15]
+    nsx = cols[16] + bu * cols[19] + bv * cols[22]
+    nsy = cols[17] + bu * cols[20] + bv * cols[23]
+    nsz = cols[18] + bu * cols[21] + bv * cols[24]
+    inv = 1.0 / jnp.maximum(
+        jnp.sqrt(nsx * nsx + nsy * nsy + nsz * nsz), 1e-20
+    )
+    ns = (nsx * inv, nsy * inv, nsz * inv)
+    cos_light = -dot(ng, d)
+    frontfacing = (cos_light >= 1e-4) & (-dot(ns, d) >= 1e-4)
+    emissive = (em[0] > 0.0) | (em[1] > 0.0) | (em[2] > 0.0)
+    pdf_hit = best_t * best_t / jnp.maximum(inv_pdfc * cos_light, 1e-12)
+    mis = pdf_prev / jnp.maximum(pdf_prev + pdf_hit, 1e-4)
+    on = has & frontfacing & emissive
+    add = tuple(jnp.where(on, mis * em[c], 0.0) for c in range(3))
+    return best_t, add, has.astype(jnp.int32)
 
 
 def bounce_draws(smp, want_rr: bool):

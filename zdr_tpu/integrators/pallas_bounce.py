@@ -296,7 +296,7 @@ def build_fused_const(data, meta: FusedMeta):
     # light-triangle table, in meta order (gathered per-lane by the glue's
     # NEE selection — no longer a kernel operand)
     if len(meta.light_tri_ids) == 0:
-        return scene_pack, jnp.zeros((8, 16), jnp.float32)
+        return scene_pack, jnp.zeros((8, 25), jnp.float32)
     lids = jnp.asarray(meta.light_tri_ids, jnp.int32)
     lv0 = p0[lids]
     le1 = e1[lids]
@@ -308,8 +308,13 @@ def build_fused_const(data, meta: FusedMeta):
     l_tc = g.inst_tri_count[inst[lids]].astype(jnp.float32)
     l_inv_pdf = n_total * l_tc * l_area  # lights.py:105-107 denominator
     lcols = jnp.concatenate(
-        [lv0, le1, le2, lem, l_ng, l_inv_pdf[:, None]], axis=1
-    ).astype(jnp.float32)  # (L, 16)
+        [lv0, le1, le2, lem, l_ng, l_inv_pdf[:, None],
+         # cols 16:25 — light-tri vertex normals (n0/dn1/dn2): the
+         # streamed direct integrator's emissive-first bounce lookup
+         # interpolates the shading normal for the frontfacing test
+         # (emitter-epilogue parity); NEE glue reads cols 0:16 only
+         n0[lids], dn1[lids], dn2[lids]], axis=1
+    ).astype(jnp.float32)  # (L, 25)
     l_n = lcols.shape[0]
     l_pad = -(-l_n // 8) * 8
     light_pack = jnp.pad(lcols, ((0, l_pad - l_n), (0, 0)))

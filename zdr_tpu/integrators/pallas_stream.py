@@ -75,6 +75,12 @@ STREAM_MAX_TRIS = 1 << 20
 # Triangles per streamed chunk: 48 rows x 8192 x 4 B = 1.5 MB VMEM per
 # buffer (double-buffered by the pipeline), leaving plenty for ray planes.
 STREAM_CHUNK = 8192
+# Below this padded triangle count the whole gat table fits in VMEM
+# alongside the trace kernel's ray planes (192 B/tri; ~11 MB at the cap),
+# so the pack uses ONE chunk: the worklist becomes a single globally
+# t-sorted list and the front-to-back break reaches its full power
+# (multi-chunk packs restart the t order at every chunk boundary).
+STREAM_ONECHUNK_TRIS = 57344
 
 _BIG_KEY = 0x7F800000  # +inf bit pattern, > any packed key (python int:
 # a module-level jnp scalar would be a captured constant inside pallas)
@@ -93,7 +99,7 @@ def _morton3(q):
     return spread(q[:, 0]) | (spread(q[:, 1]) << 1) | (spread(q[:, 2]) << 2)
 
 
-def build_stream_pack(scene_pack, chunk: int = STREAM_CHUNK, tile=None):
+def build_stream_pack(scene_pack, chunk=None, tile=None):
     """Morton-sort the scene table and build the streamed Woop tables.
 
     Returns (gat, boxes, t_pad, tile, chunk, sorted_pack, order):
@@ -108,7 +114,8 @@ def build_stream_pack(scene_pack, chunk: int = STREAM_CHUNK, tile=None):
     """
     t_n = scene_pack.shape[0]
     tile = int(tile or MXU_TILE)
-    chunk = max(int(chunk), tile)
+    auto_chunk = chunk is None
+    chunk = max(int(chunk or STREAM_CHUNK), tile)
     if chunk % tile:
         chunk = -(-chunk // tile) * tile
 
@@ -125,6 +132,8 @@ def build_stream_pack(scene_pack, chunk: int = STREAM_CHUNK, tile=None):
     gat, boxes, t_pad, tile = build_woop_pack(sorted_pack, tile=tile)
     # round t_pad up to a chunk multiple; padded triangles have all-zero
     # woop rows (dw == 0 -> rejected) and inverted AABBs (never slab-hit)
+    if auto_chunk and t_pad <= STREAM_ONECHUNK_TRIS:
+        chunk = t_pad  # VMEM-resident single chunk: global worklist order
     chunk = min(chunk, t_pad)  # small scenes: one chunk, no pad blowup
     t_full = -(-t_pad // chunk) * chunk
     if t_full != t_pad:
@@ -181,9 +190,17 @@ _CAP_NOHIT = 1e28
 # Sorted-worklist sentinel: above every packed candidate key (tmin_lb is
 # clamped to [0, 1e28] before packing).
 _WL_SENT = 0x7F7FFFFF
-# Low bits of a worklist key carry the local tile id (tiles/chunk <= 128).
-_WL_IDX_BITS = 0x7F
-_WL_WIDTH = 128  # worklist entries per (row, chunk), sentinel padded
+# Low bits of a worklist key carry the local tile id (9 bits, like the
+# in-tile argmin packing: tiles/chunk <= 512 — the single-chunk mode's
+# 448 fits). Worklist rows are padded to a 128-lane multiple >= tpc, so
+# a worklist can never overflow.
+_WL_IDX_BITS = 0x1FF
+
+
+def _wl_width(tpc: int) -> int:
+    if tpc > _WL_IDX_BITS + 1:
+        raise ValueError(f"tiles/chunk {tpc} exceeds worklist id capacity")
+    return -(-tpc // 128) * 128
 
 
 def _plan_sweep(boxes, tile: int, chunk: int, o3, d3, act, t_hi=None):
@@ -210,8 +227,7 @@ def _plan_sweep(boxes, tile: int, chunk: int, o3, d3, act, t_hi=None):
     n_tiles = boxes.shape[0]
     tpc = chunk // tile
     C = n_tiles // tpc
-    if tpc > _WL_WIDTH:
-        raise ValueError(f"tiles/chunk {tpc} exceeds worklist width")
+    width = _wl_width(tpc)
     if C > 256:
         raise ValueError(f"chunk count {C} exceeds order-key capacity")
     f32, i32 = jnp.float32, jnp.int32
@@ -253,6 +269,47 @@ def _plan_sweep(boxes, tile: int, chunk: int, o3, d3, act, t_hi=None):
         ax_hi = jnp.where(span0, big, ax_hi)
         tmin_lb = jnp.maximum(tmin_lb, ax_lo)
         tmax_ub = jnp.minimum(tmax_ub, ax_hi)
+
+        # tighter per-axis ENTRY lower bound via direction-sign subgroups
+        # (the plain interval bound collapses to -inf when the row's d_k
+        # spans 0, which loses exactly the depth-axis constraint that
+        # separates front tiles from back tiles — measured: fully-hit
+        # rows break at ~42 instead of ~63 candidates with this bound).
+        # Positive-d lanes enter the slab no earlier than
+        # (lo_k - max o_k)/max d_k; negative-d lanes no earlier than
+        # (min o_k - hi_k)/|min d_k|; zero-d lanes either sit inside the
+        # slab (bound 0) or can never enter it (bound +inf).
+        dk = d3[k]
+        pos = on & (dk > 0)
+        neg = on & (dk < 0)
+        zer = on & (dk == 0)
+        pd_hi = jnp.max(jnp.where(pos, dk, 0.0), axis=1)
+        nd_lo = jnp.min(jnp.where(neg, dk, 0.0), axis=1)
+        has_p = jnp.any(pos, axis=1)[:, None]
+        has_n = jnp.any(neg, axis=1)[:, None]
+        has_z = jnp.any(zer, axis=1)[:, None]
+        bl, bh = lo[None, :, k], hi[None, :, k]
+        # computed bounds clamp below `big` so `axis_lb >= big` can only
+        # arise from subgroup ABSENCE (the one case that proves exclusion)
+        num_p = jnp.maximum(bl - o_hi[k][:, None], 0.0)
+        lb_p = jnp.where(
+            has_p,
+            jnp.minimum(num_p / jnp.maximum(pd_hi, 1e-30)[:, None], 1e29),
+            big,
+        )
+        num_n = jnp.maximum(o_lo[k][:, None] - bh, 0.0)
+        lb_n = jnp.where(
+            has_n,
+            jnp.minimum(num_n / jnp.maximum(-nd_lo, 1e-30)[:, None], 1e29),
+            big,
+        )
+        inside = (o_hi[k][:, None] >= bl) & (o_lo[k][:, None] <= bh)
+        lb_z = jnp.where(has_z & inside, 0.0, big)
+        axis_lb = jnp.minimum(jnp.minimum(lb_p, lb_n), lb_z)
+        # axis_lb == big means NO lane can ever enter this slab: exclude
+        tmax_ub = jnp.where(axis_lb >= big, -big, tmax_ub)
+        tmin_lb = jnp.maximum(tmin_lb, jnp.where(axis_lb >= big, 0.0,
+                                                 axis_lb))
     hit = (tmin_lb <= tmax_ub) & (tmax_ub >= 0.0)
     # rows with no active lane have inverted (garbage) intervals: no tiles
     hit = hit & jnp.any(on, axis=1)[:, None]
@@ -264,12 +321,12 @@ def _plan_sweep(boxes, tile: int, chunk: int, o3, d3, act, t_hi=None):
     local = (jnp.arange(n_tiles, dtype=i32) % tpc)[None, :]
     keys = jnp.where(hit, (kb & ~_WL_IDX_BITS) | local, _WL_SENT)
     keys = keys.reshape(rows, C, tpc)
-    if tpc < _WL_WIDTH:
+    if tpc < width:
         keys = jnp.pad(
-            keys, ((0, 0), (0, 0), (0, _WL_WIDTH - tpc)),
+            keys, ((0, 0), (0, 0), (0, width - tpc)),
             constant_values=_WL_SENT,
         )
-    wl = jnp.sort(keys, axis=-1).reshape(rows, C * _WL_WIDTH)
+    wl = jnp.sort(keys, axis=-1).reshape(rows, C * width)
 
     hit_c = hit.reshape(rows, C, tpc).any(-1)
     tmin_c = jnp.min(
@@ -332,8 +389,8 @@ def _tile_lane_need(box_r, ti, o, d, inv, active, t_cap):
     return jnp.any(hit)
 
 
-def _stream_closest_kernel(tile: int, chunk: int, prec: str, t_lo: float,
-                           *refs):
+def _stream_closest_kernel(tile: int, chunk: int, width: int, prec: str,
+                           t_lo: float, *refs):
     """One (ray_block, ordered-chunk) grid step of the streamed closest
     sweep: per-row front-to-back worklist walk with early break."""
     from .pallas_bounce import _key_t_upper, _tile_uv_t
@@ -381,11 +438,11 @@ def _stream_closest_kernel(tile: int, chunk: int, prec: str, t_lo: float,
                  jnp.concatenate([*d, zeros], axis=0)], axis=1
             )
 
-            # the row's worklist as one (1, 128) vector: Mosaic only allows
+            # the row's worklist as one (1, width) vector: Mosaic only allows
             # dynamic indices on the sublane axis, so the j-th entry is
             # extracted by a masked lane reduce (keys are nonnegative)
             wlv = wl_r[sl, :]
-            lane_iota = jax.lax.broadcasted_iota(i32, (1, _WL_WIDTH), 1)
+            lane_iota = jax.lax.broadcasted_iota(i32, (1, width), 1)
 
             def wl_at(j):
                 return jnp.max(jnp.where(lane_iota == j, wlv, int_min))
@@ -399,7 +456,7 @@ def _stream_closest_kernel(tile: int, chunk: int, prec: str, t_lo: float,
             def wcond(st):
                 j, cap, _bk, _bp = st
                 tmin_bits = wl_at(j) & ~_WL_IDX_BITS
-                return (j < _WL_WIDTH) & (tmin_bits <= cap)
+                return (j < width) & (tmin_bits <= cap)
 
             def wbody(st):
                 j, cap, bk, bp = st
@@ -447,7 +504,8 @@ def _stream_closest_kernel(tile: int, chunk: int, prec: str, t_lo: float,
         jax.lax.fori_loop(0, BLOCK_ROWS, row, 0)
 
 
-def _stream_any_kernel(tile: int, chunk: int, prec: str, t_lo: float, *refs):
+def _stream_any_kernel(tile: int, chunk: int, width: int, prec: str,
+                       t_lo: float, *refs):
     """One (ray_block, ordered-chunk) grid step of the streamed occlusion
     sweep: per-row worklist walk, early-exit once every lane is occluded."""
     from .pallas_bounce import _tile_uv_t
@@ -489,7 +547,7 @@ def _stream_any_kernel(tile: int, chunk: int, prec: str, t_lo: float, *refs):
             )
 
             wlv = wl_r[sl, :]
-            lane_iota = jax.lax.broadcasted_iota(i32, (1, _WL_WIDTH), 1)
+            lane_iota = jax.lax.broadcasted_iota(i32, (1, width), 1)
 
             def wl_at(j):
                 return jnp.max(jnp.where(lane_iota == j, wlv, int_min))
@@ -500,7 +558,7 @@ def _stream_any_kernel(tile: int, chunk: int, prec: str, t_lo: float, *refs):
                 # int-space compare (nonneg-float bit order == float order)
                 cap_bits = jnp.max(jnp.where(open_, thi_bits, int_min))
                 tmin_bits = wl_at(j) & ~_WL_IDX_BITS
-                return (j < _WL_WIDTH) & (tmin_bits <= cap_bits)
+                return (j < width) & (tmin_bits <= cap_bits)
 
             def wbody(st):
                 j, occ = st
@@ -532,10 +590,15 @@ def _stream_any_kernel(tile: int, chunk: int, prec: str, t_lo: float, *refs):
 # ------------------------------------------------- grid specs / wrappers
 
 
-def _stream_specs(chunk: int, tpc: int, n_ray_planes: int, n_out: int):
+def _stream_specs(chunk: int, tpc: int, width: int, n_chunks: int,
+                  n_ray_planes: int, n_out: int):
     """(in_specs, out_specs) for the worklist kernels. All index maps see
     the 3 scalar-prefetch refs (order, cnt, ctmin) as trailing args; the
-    gat/box/worklist blocks follow the block's chunk visit order."""
+    gat/box/worklist blocks follow the block's chunk visit order. With a
+    single chunk the gat/box maps are CONSTANT — order[i, 0] is always 0,
+    and a constant map keeps the pipeline from double-buffering the gat
+    table (at the one-chunk cap that is a ~10 MB buffer: doubling it
+    OOMs the 16 MB scoped-VMEM budget inside render graphs)."""
 
     def by_order_gat(i, c, order, cnt, ctmin):
         return (0, order[i, c])
@@ -552,11 +615,16 @@ def _stream_specs(chunk: int, tpc: int, n_ray_planes: int, n_out: int):
     def const(i, c, order, cnt, ctmin):
         return (0, 0)
 
+    if n_chunks == 1:
+        by_order_gat = const
+        by_order_box = const
+        by_order_wl = by_block
+
     v = pltpu.VMEM
     in_specs = [
         pl.BlockSpec((_gat_rows(), chunk), by_order_gat, memory_space=v),
         pl.BlockSpec((tpc, 8), by_order_box, memory_space=v),
-        pl.BlockSpec((BLOCK_ROWS, _WL_WIDTH), by_order_wl, memory_space=v),
+        pl.BlockSpec((BLOCK_ROWS, width), by_order_wl, memory_space=v),
         pl.BlockSpec((8, 128), const, memory_space=v),
     ] + [
         pl.BlockSpec((BLOCK_ROWS, LANES), by_block, memory_space=v)
@@ -577,14 +645,16 @@ def stream_closest(stream_pack, rays7, interpret=False, t_lo: float = 0.0):
     r = rays7[0].shape[0]
     grid = (r // BLOCK_ROWS, t_pad // chunk)
     prec = "highest" if interpret else MXU_PRECISION
-    in_specs, out_specs = _stream_specs(chunk, chunk // tile, 7, 2)
+    width = _wl_width(chunk // tile)
+    in_specs, out_specs = _stream_specs(chunk, chunk // tile, width,
+                                        t_pad // chunk, 7, 2)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3, grid=grid,
         in_specs=in_specs, out_specs=out_specs,
     )
     key, prim = pl.pallas_call(
         functools.partial(
-            _stream_closest_kernel, tile, chunk, prec, float(t_lo)
+            _stream_closest_kernel, tile, chunk, width, prec, float(t_lo)
         ),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((r, LANES), jnp.int32)] * 2,
@@ -606,13 +676,16 @@ def stream_any(stream_pack, rays8, interpret=False, t_lo: float = 1e-4):
     r = rays8[0].shape[0]
     grid = (r // BLOCK_ROWS, t_pad // chunk)
     prec = "highest" if interpret else MXU_PRECISION
-    in_specs, out_specs = _stream_specs(chunk, chunk // tile, 8, 1)
+    width = _wl_width(chunk // tile)
+    in_specs, out_specs = _stream_specs(chunk, chunk // tile, width,
+                                        t_pad // chunk, 8, 1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3, grid=grid,
         in_specs=in_specs, out_specs=out_specs,
     )
     (occ,) = pl.pallas_call(
-        functools.partial(_stream_any_kernel, tile, chunk, prec, float(t_lo)),
+        functools.partial(_stream_any_kernel, tile, chunk, width, prec,
+                          float(t_lo)),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((r, LANES), jnp.int32)],
         interpret=interpret,
