@@ -68,6 +68,12 @@ from .path_fused import _interpret, fused_eligible
 from .path_persistent import SCATTER_BATCH
 from .wrapper import RADIANCE_CLAMP
 
+# merged-kernel (bounce_emit) eligibility cap: the in-kernel emissive-first
+# lookup unrolls a Möller–Trumbore pass per LIGHT TRIANGLE (block-wide VPU
+# work); past this count the unroll outgrows the closest-sweep it replaces
+# and the split k2f + k1b + k2g pipeline takes over.
+MERGED_MAX_LIGHT_TRIS = 32
+
 
 def direct_fused_eligible(data: SceneData, cfg) -> bool:
     import dataclasses
@@ -160,14 +166,20 @@ def _one_sample(data, material, camera, seed, cfg, setup, it, want_grad,
     )
     nee_planes = (*wi_l, l_dist, l_pdf, *l_ev)
 
-    # merged mode (MXU scenes, no envmap): ONE shade kernel computes the
-    # complete sample radiance (bounce emitter sweep in-kernel) and, in the
+    # merged mode (MXU scenes, no envmap, statically small light set —
+    # the in-kernel emissive-first lookup unrolls over the light
+    # triangles): ONE shade kernel computes the complete sample radiance
+    # (light-MT + t-capped occlusion sweep in-kernel) and, in the
     # backward, the gradient taps — replacing the k2f + k1b (+ k2g) chain
-    if woop is not None and meta.n_env == 0 and stream is None:
+    n_ltris = len(meta.light_tri_ids)
+    if (woop is not None and meta.n_env == 0 and stream is None
+            and 0 < n_ltris <= MERGED_MAX_LIGHT_TRIS):
+        lp = tables.light_pack
         if not want_grad:
             k2 = fused_shade(
                 scene_pack, meta.num_tris, ray_planes, nee_planes, draws,
                 2, 16, h, w, interpret=interp, woop=woop, bounce_emit=True,
+                light_pack=lp, n_light_tris=n_ltris,
             )
             return (k2[0], k2[1], k2[2]), None
         lgr, lgg, lgb = grad_extra
@@ -178,6 +190,7 @@ def _one_sample(data, material, camera, seed, cfg, setup, it, want_grad,
             2, 16, h, w,
             grad_planes=(real, zf, zf, zf, lgr, lgg, lgb, ux, uy, u_splat),
             interpret=interp, woop=woop, bounce_emit=True,
+            light_pack=lp, n_light_tris=n_ltris,
         )
         return (k2g[0], k2g[1], k2g[2]), k2g[14:22]
     occ_s = None

@@ -917,6 +917,7 @@ def _shade_kernel(
     has_occ: bool = False,
     want_occ: bool = False,
     bounce_emit: bool = False,
+    n_light_tris: int = 0,
 ):
     """Shadow sweep + GGX shade/sample + RR (+ PRB gradient taps).
 
@@ -938,9 +939,13 @@ def _shade_kernel(
     scene_r = refs[0]  # (T_pad, 32) cols 0-8 tri p0/e1/e2; gat table if mxu
     idx = 1
     box_r = None
+    lp_r = None
     if mxu is not None and not has_occ:
         box_r = refs[1]  # per-tile AABBs for sweep culling
         idx = 2
+        if bounce_emit:
+            lp_r = refs[2]  # (L_pad, 25) light-triangle rows
+            idx = 3
     (px_r, py_r, pz_r, nsx_r, nsy_r, nsz_r, ngx_r, ngy_r, ngz_r,
      dx_r, dy_r, dz_r, shade_r, m0_r, m1_r, m2_r, m3_r,
      br_r, bg_r, bb_r, depth_r, aer_r, aeg_r, aeb_r) = refs[idx : idx + 24]
@@ -1090,8 +1095,17 @@ def _shade_kernel(
     path_alive = bounce_ok & ~dead & (depth + 1 < max_depth)
     beta_next = _vscale(beta_next, rr_scale)
 
-    # ---- merged bounce emitter lookup (direct integrator, no-env scenes):
-    # second closest-hit sweep over the bounce rays, in-kernel
+    # ---- merged bounce emitter lookup (direct integrator, no-env scenes).
+    # Emissive-first (round 4): direct lighting only consumes the bounce
+    # ray's EMITTER radiance, so instead of a full closest-hit sweep + the
+    # O(n_tiles) one-hot winner gather, the kernel intersects the bounce
+    # rays against the LIGHT TRIANGLES alone (a statically unrolled MT
+    # over L rows — block-wide VPU work) and then runs ONE t-capped
+    # occlusion sweep: a bounce ray contributes iff its closest emissive
+    # hit is unoccluded. Lanes that reach no light leave the occlusion
+    # sweep's active set, and its per-tile t_hi caps + early exit make it
+    # far cheaper than the closest sweep it replaces (the same algebra as
+    # the streamed path's fused_glue.light_hit_planes).
     bounce_add = None
     if bounce_emit:
         t_pad, tile, mxu_prec = mxu
@@ -1099,16 +1113,69 @@ def _shade_kernel(
         rows = px_r.shape[0]
         ones_b = jnp.ones((1, LANES), jnp.float32)
         zeros_b = jnp.zeros((1, LANES), jnp.float32)
-        (sno_x, sno_y, sno_z, swi_x, swi_y, swi_z, spdfb, sact,
+        (sno_x, sno_y, sno_z, swi_x, swi_y, swi_z, sthi, sact,
          sbe_r, sbe_g, sbe_b) = scr[1:]
+
+        # block-wide closest hit over the L light triangles
+        big_f = jnp.float32(1e30)
+        bt = jnp.full_like(pdf_bounce, big_f)
+        bu_l = jnp.zeros_like(pdf_bounce)
+        bv_l = jnp.zeros_like(pdf_bounce)
+        bj = jnp.zeros_like(depth)
+        for j in range(n_light_tris):
+            p0 = (lp_r[j, 0], lp_r[j, 1], lp_r[j, 2])
+            e1 = (lp_r[j, 3], lp_r[j, 4], lp_r[j, 5])
+            e2 = (lp_r[j, 6], lp_r[j, 7], lp_r[j, 8])
+            hh = _vcross(wi, e2)
+            a = _vdot(e1, hh)
+            f = jnp.where(jnp.abs(a) > 1e-12,
+                          1.0 / jnp.where(a == 0, 1.0, a), 0.0)
+            s = _vsub(next_o, p0)
+            u = f * _vdot(s, hh)
+            q = _vcross(s, e1)
+            v = f * _vdot(wi, q)
+            t = f * _vdot(e2, q)
+            ok = (
+                (jnp.abs(a) > 1e-12)
+                & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
+                & (t > 0.0) & (t < bt)
+            )
+            bt = jnp.where(ok, t, bt)
+            bu_l = jnp.where(ok, u, bu_l)
+            bv_l = jnp.where(ok, v, bv_l)
+            bj = jnp.where(ok, j, bj)
+        has = path_alive & (bt < big_f)
+        # winner attributes by where-chain (L is statically small)
+        av = [jnp.zeros_like(pdf_bounce) for _ in range(16)]
+        for j in range(n_light_tris):
+            m = bj == j
+            av = [jnp.where(m, lp_r[j, 9 + c], av[c]) for c in range(16)]
+        em = (av[0], av[1], av[2])
+        l_ng = (av[3], av[4], av[5])
+        inv_pdfc = av[6]
+        ns_l = _vnormalize((
+            av[7] + bu_l * av[10] + bv_l * av[13],
+            av[8] + bu_l * av[11] + bv_l * av[14],
+            av[9] + bu_l * av[12] + bv_l * av[15],
+        ))
+        cos_light = -_vdot(l_ng, wi)
+        frontfacing = (cos_light >= 1e-4) & (-_vdot(ns_l, wi) >= 1e-4)
+        l_emissive = (em[0] > 0.0) | (em[1] > 0.0) | (em[2] > 0.0)
+        pdf_hit = bt * bt / jnp.maximum(inv_pdfc * cos_light, 1e-12)
+        mis_hit = pdf_bounce / jnp.maximum(pdf_bounce + pdf_hit, 1e-4)
+        e_on = has & frontfacing & l_emissive
+        sbe_r[:] = jnp.where(e_on, mis_hit * em[0], 0.0)
+        sbe_g[:] = jnp.where(e_on, mis_hit * em[1], 0.0)
+        sbe_b[:] = jnp.where(e_on, mis_hit * em[2], 0.0)
+
         sno_x[:] = next_o[0]
         sno_y[:] = next_o[1]
         sno_z[:] = next_o[2]
         swi_x[:] = wi[0]
         swi_y[:] = wi[1]
         swi_z[:] = wi[2]
-        spdfb[:] = pdf_bounce
-        sact[:] = path_alive.astype(jnp.int32)
+        sthi[:] = 0.9999 * bt  # NEE shadow epsilon (lights.py parity)
+        sact[:] = has.astype(jnp.int32)
 
         def be_group(g, _):
             sl = pl.ds(g, 1)
@@ -1117,21 +1184,13 @@ def _shade_kernel(
             act = sact[sl, :] != 0
             o_aug = jnp.concatenate([*o_row, ones_b], axis=0)
             d_aug = jnp.concatenate([*d_row, zeros_b], axis=0)
-            b_miss, prim = _mxu_sweep_row(
-                scene_r, box_r, tile, n_tiles, o_aug, d_aug, 0.0, None,
-                "closest", prec=mxu_prec, active=act,
+            occ = _mxu_sweep_row(
+                scene_r, box_r, tile, n_tiles, o_aug, d_aug, 0.0,
+                sthi[sl, :], "any", prec=mxu_prec, active=act,
             )
-            gat = _mxu_gather_rows(
-                scene_r, GAT_GATHER_LO, _gat_rows(), tile, n_tiles, prim,
-                b_miss,
-            )
-            t_win, bu, bv = _mt_rederive(gat, o_row, d_row, b_miss)
-            er, eg, eb, _m = _emitter_epilogue(
-                gat, d_row, t_win, bu, bv, spdfb[sl, :], act, b_miss
-            )
-            sbe_r[sl, :] = er
-            sbe_g[sl, :] = eg
-            sbe_b[sl, :] = eb
+            sbe_r[sl, :] = jnp.where(occ, 0.0, sbe_r[sl, :])
+            sbe_g[sl, :] = jnp.where(occ, 0.0, sbe_g[sl, :])
+            sbe_b[sl, :] = jnp.where(occ, 0.0, sbe_b[sl, :])
             return 0
 
         jax.lax.fori_loop(0, rows, be_group, 0)
@@ -1340,6 +1399,8 @@ def fused_shade(
     occ_in=None,
     want_occ=False,
     bounce_emit=False,
+    light_pack=None,
+    n_light_tris=None,
 ):
     """kernel 2. ray_planes: 24 planes (p3, ns3, ng3, d3, shade i32, mat4,
     beta3, depth i32, add_emit3). nee_planes: 8 (wi_l3, dist, pdf, eval3 —
@@ -1351,15 +1412,22 @@ def fused_shade(
     want_occ]. `woop` (build_woop_pack output) runs the shadow sweep on
     the MXU. `occ_in` (an i32 plane from a want_occ call over the SAME
     rays/NEE sample) skips the shadow sweep entirely. `bounce_emit` (MXU
-    only, no occ passthrough) merges the bounce emitter lookup in-kernel:
-    the radiance outputs carry the complete direct-sample radiance and the
-    gradient taps need no le_rem input (see _shade_kernel)."""
+    only, no occ passthrough; needs `light_pack`, the (L_pad, 25)
+    light-triangle table) merges the bounce emitter lookup in-kernel as an
+    emissive-first light-MT + t-capped occlusion sweep: the radiance
+    outputs carry the complete direct-sample radiance and the gradient
+    taps need no le_rem input (see _shade_kernel)."""
     r = ray_planes[0].shape[0]
     grid = (r // BLOCK_ROWS,)
     want_grad = grad_planes is not None
     has_occ = occ_in is not None
     if bounce_emit:
         assert woop is not None and not has_occ and not want_occ
+        assert light_pack is not None
+        if n_light_tris is None:
+            n_light_tris = int(light_pack.shape[0])
+    else:
+        n_light_tris = 0
     f32 = jnp.float32
     out_shape = [jax.ShapeDtypeStruct(_plane_shape(r), f32)] * 13 + [
         jax.ShapeDtypeStruct(_plane_shape(r), jnp.int32)
@@ -1381,6 +1449,9 @@ def fused_shade(
     if mxu is not None and not has_occ:
         inputs.append(woop[1])  # per-tile AABBs
         in_specs.append(_const_spec2(woop[1].shape))
+        if bounce_emit:
+            inputs.append(light_pack)
+            in_specs.append(_const_spec2(light_pack.shape))
     inputs += list(ray_planes) + list(nee_planes) + list(draw_planes)
     in_specs += [_ray_spec()] * 36
     if has_occ:
@@ -1402,7 +1473,7 @@ def fused_shade(
     outs = pl.pallas_call(
         functools.partial(
             _kernel2_entry, n_tris, rr_depth, max_depth, tex_h, tex_w,
-            want_grad, mxu, has_occ, want_occ, bounce_emit,
+            want_grad, mxu, has_occ, want_occ, bounce_emit, n_light_tris,
         ),
         grid=grid,
         in_specs=in_specs,
@@ -1415,9 +1486,9 @@ def fused_shade(
 
 
 def _kernel2_entry(t, rr_depth, max_depth, tex_h, tex_w, want_grad, mxu,
-                   has_occ, want_occ, bounce_emit, *refs):
+                   has_occ, want_occ, bounce_emit, n_light_tris, *refs):
     _shade_kernel(t, rr_depth, max_depth, tex_h, tex_w, want_grad, refs, mxu,
-                  has_occ, want_occ, bounce_emit)
+                  has_occ, want_occ, bounce_emit, n_light_tris)
 
 
 def _const_spec2(shape):
