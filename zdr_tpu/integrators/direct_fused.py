@@ -317,6 +317,12 @@ def render_direct_backward_fused(
     lgb = pad_to_planes(le_grad[:, 2], rows)
 
     buf0 = make_splat_buffer(SCATTER_BATCH, n_lanes, n_bins, cfg.packed_splat)
+    # NOTE: cfg.splat_merge is deliberately NOT applied here. The path
+    # backward merges taps across BOUNCES, where phase interleaving makes
+    # half the pairings exact; direct has exactly one (almost always real)
+    # tap per sample, so a cross-sample merge measurably amplifies
+    # gradient noise (it pushed the 10%% AD-vs-FD gate to ~14%% at spp96)
+    # while the flush it would shrink is only ~6%% of the iteration.
 
     def flush(d_mat, buf):
         return flush_splat_buffer(d_mat, buf, n_bins, cfg.packed_splat)

@@ -1014,10 +1014,25 @@ def _shade_kernel(
             d_aug = jnp.concatenate(
                 [lwx_r[sl, :], lwy_r[sl, :], lwz_r[sl, :], zeros_r], axis=0
             )
+            # lanes whose NEE term is already zero need no occlusion
+            # answer (exact: the term multiplies by l_eval and gates on
+            # wi_light . ns): roughly half a convex object faces away
+            # from any one light, and the skipped lanes are spatially
+            # coherent, so whole rows drop out of the sweep
+            wl_row = (lwx_r[sl, :], lwy_r[sl, :], lwz_r[sl, :])
+            ns_row = (nsx_r[sl, :], nsy_r[sl, :], nsz_r[sl, :])
+            ev_on = (
+                (levr_r[sl, :] != 0.0) | (levg_r[sl, :] != 0.0)
+                | (levb_r[sl, :] != 0.0)
+            )
+            act_row = (
+                (shade_r[sl, :] != 0) & ev_on
+                & (_vdot(wl_row, ns_row) >= 1e-4)
+            )
             row = _mxu_sweep_row(
                 scene_r, box_r, tile, n_tiles, o_aug, d_aug, 1e-4,
                 ldist_r[sl, :], "any", prec=mxu_prec,
-                active=(shade_r[sl, :] != 0),
+                active=act_row,
             )
             occ_scr[sl, :] = row.astype(jnp.int32)
             return 0
