@@ -35,6 +35,12 @@ RR_DEPTH = int(sys.argv[4]) if len(sys.argv) > 4 else 2
 # whose sampling decisions are material-independent.
 CHANNEL = sys.argv[5] if len(sys.argv) > 5 else "any"
 FD_EPS = float(sys.argv[6]) if len(sys.argv) > 6 else 0.01
+# average the AD gradient over this many seeds: the FD pair shares one
+# sample stream (common random numbers — its difference is low-noise),
+# while the AD side replays at seed+1 (decorrelated backward,
+# render.py:196 parity), so at high spp the AD estimator's own noise is
+# the comparison floor; seed-averaging divides it by sqrt(K).
+AD_AVG = int(sys.argv[7]) if len(sys.argv) > 7 else 1
 SEED = 3
 
 
@@ -66,9 +72,16 @@ def main():
         img = s.render(m, res=(RES, RES), spp=spp, seed=SEED)
         return np.asarray(img[..., :3]).astype(np.float64).sum()
 
-    def ad_loss(m, spp):
-        img = s.render(m, res=(RES, RES), spp=spp, seed=SEED)
+    def ad_loss(m, spp, seed=SEED):
+        img = s.render(m, res=(RES, RES), spp=spp, seed=seed)
         return jnp.sum(img[..., :3])
+
+    def ad_at(m, spp, ti):
+        vals = [
+            float(jax.grad(lambda mm: ad_loss(mm, spp, SEED + 100 * k))(m)[ti])
+            for k in range(AD_AVG)
+        ]
+        return sum(vals) / len(vals)
 
     g0 = np.asarray(jax.grad(lambda m: ad_loss(m, 256))(material))
     if CHANNEL == "diffuse":
@@ -85,7 +98,7 @@ def main():
     spp = 64
     while spp <= MAX_SPP:
         t0 = time.time()
-        ad = float(jax.grad(lambda m: ad_loss(m, spp))(material)[ti])
+        ad = ad_at(material, spp, ti)
         fd = (
             img64(material.at[ti].add(FD_EPS), spp)
             - img64(material.at[ti].add(-FD_EPS), spp)

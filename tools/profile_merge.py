@@ -94,6 +94,9 @@ def merge():
             _merge_one(accel, m)
 
 
+
+
+
 def glue():
     from zdr_tpu import Camera, Scene, float3
     from zdr_tpu.geometry.procedural import make_quad, make_uv_sphere
@@ -169,7 +172,7 @@ def glue():
 
 SECTIONS = {"glue": glue}
 for _accel in ("pallas", "auto"):
-    for _m in (1, 2, 4):
+    for _m in (1, 2, 4, 8, 16):
         SECTIONS[f"merge-{_accel}-{_m}"] = (
             lambda a=_accel, m=_m: _merge_one(a, m)
         )
