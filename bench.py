@@ -8,10 +8,13 @@ BASELINE.md (BASELINE_MRAYS below).
 
 Ray accounting (documented, honest): the path_stats probe measures the
 average number of closest-hit and shadow traces per camera sample for this
-exact scene/sampler. Forward cost = (closest + shadow) rays per sample; the
-PRB backward re-walks the path twice (Le replay + gradient walk), so a full
-iteration traces ~3x the forward rays:
-    total_rays = res^2 * spp * (closest + shadow) * 3.
+exact scene/sampler. Forward cost = (closest + shadow) rays per sample. The
+backward's walk count depends on the routed implementation: the round-5
+megakernel loop (integrators/pallas_loop.py) walks each sample ONCE (the
+tap-replay backward recovers the continuation adjoint from stored
+per-bounce taps), while the 2-walk PRB backward replays Le first. So
+    total_rays = res^2 * spp * (closest + shadow) * (1 + bwd_walks),
+with bwd_walks probed from the routing (1 for the loop, 2 otherwise).
 
 Note: on the axon remote-TPU platform, block_until_ready() does not actually
 synchronize — a host transfer (float()) is the only reliable fence, so all
@@ -88,8 +91,11 @@ def main():
         file=sys.stderr,
     )
 
+    from zdr_tpu.integrators.pallas_loop import loop_eligible
+
+    bwd_walks = 1.0 if loop_eligible(scene._data, scene._config(RES, SPP)) else 2.0
     n_samples = RES[0] * RES[1] * SPP
-    total_rays = n_samples * rays_per_sample * 3.0  # fwd + 2x-walk PRB bwd
+    total_rays = n_samples * rays_per_sample * (1.0 + bwd_walks)
     mrays = total_rays / dt / 1e6
 
     vs = mrays / BASELINE_MRAYS if BASELINE_MRAYS else 1.0

@@ -55,6 +55,14 @@ class TestFusedForward:
 class TestFusedBackward:
     def test_grad_matches_unfused(self):
         s = _cbox()
+        # realization equality only holds with per-tap flushing: at
+        # splat_merge > 1 the one-walk loop backward groups taps by walk
+        # iteration while the unfused walk groups by interleaved phase —
+        # both unbiased (gated statistically in test_config_knobs), but
+        # different realizations. packed_splat off for the same reason
+        # (flush-order bf16 reassociation).
+        s.splat_merge = 1
+        s.packed_splat = False
 
         def loss(m):
             return jnp.sum(s.render(m, res=(16, 16), spp=4, seed=0)[..., :3])
@@ -424,3 +432,113 @@ class TestFusedScopeRound3:
         s.fused = False
         i_u = np.asarray(s.render(MAT, res=(16, 16), spp=2, seed=1))
         np.testing.assert_allclose(i_f, i_u, atol=2e-3)
+
+
+class TestLoopKernel:
+    """Round-5 megakernel loop (integrators/pallas_loop.py): one Pallas
+    call per bounce with in-kernel sampler draws / NEE selection / restart
+    camera rays, plus the one-walk tap-replay backward. Must match the
+    2-kernel fused pipeline at float tolerance (same stream, same math)."""
+
+    def _cfg(self, s, res, spp, **kw):
+        import dataclasses
+
+        return dataclasses.replace(
+            s._config(res, spp), fused="force", **kw
+        )
+
+    def test_eligible_and_forward_matches_fused(self):
+        from zdr_tpu.integrators import pallas_loop as plp
+        from zdr_tpu.integrators import path_fused as pf
+        from zdr_tpu.integrators.wrapper import _pixel_grid
+
+        s = _cbox()
+        cfg = self._cfg(s, (24, 24), 4)
+        assert plp.loop_eligible(s._data, cfg)
+        coords = _pixel_grid(cfg.res)
+        a = np.asarray(pf.render_path_fused(
+            s._data, MAT, s.camera, jnp.int32(3), cfg, coords))
+        b = np.asarray(plp.render_path_loop(
+            s._data, MAT, s.camera, jnp.int32(3), cfg, coords))
+        np.testing.assert_allclose(a, b, atol=2e-6)
+
+    def test_one_walk_backward_matches_two_walk(self):
+        from zdr_tpu.integrators import pallas_loop as plp
+        from zdr_tpu.integrators import path_fused as pf
+        from zdr_tpu.integrators.wrapper import _pixel_grid
+
+        s = _cbox()
+        s.max_depth = 4
+        # merge=1 + unpacked flush: tap values must agree at float
+        # precision (only flush summation order differs)
+        cfg = self._cfg(s, (16, 16), 4, splat_merge=1, packed_splat=False)
+        coords = _pixel_grid(cfg.res)
+        le = jnp.asarray(
+            np.random.RandomState(1).rand(16 * 16, 3), jnp.float32
+        )
+        a = np.asarray(pf.render_path_backward_fused(
+            s._data, MAT, s.camera, jnp.int32(3), cfg, coords, le))
+        b = np.asarray(plp.render_path_backward_loop(
+            s._data, MAT, s.camera, jnp.int32(3), cfg, coords, le))
+        assert np.abs(a - b).max() / np.abs(a).max() < 1e-5
+
+    def test_tap_cap_outer_resume_exact(self):
+        """Force LOOP_TAP_CAP below one window's iteration count: the
+        outer while must resume the walk and still produce identical
+        gradients (sample streams are restart-invariant)."""
+        from zdr_tpu.integrators import pallas_loop as plp
+        from zdr_tpu.integrators.wrapper import _pixel_grid
+
+        s = _cbox()
+        s.max_depth = 4
+        cfg = self._cfg(s, (16, 16), 8, splat_merge=1, packed_splat=False)
+        coords = _pixel_grid(cfg.res)
+        le = jnp.ones((16 * 16, 3), jnp.float32)
+        args = (s._data, MAT, s.camera, jnp.int32(2), cfg, coords, le)
+        ref = np.asarray(plp.render_path_backward_loop(*args))
+        cap = plp.LOOP_TAP_CAP
+        try:
+            plp.LOOP_TAP_CAP = 12  # > max_depth, < needed iterations
+            capped = np.asarray(plp.render_path_backward_loop(*args))
+        finally:
+            plp.LOOP_TAP_CAP = cap
+        assert np.abs(ref - capped).max() / np.abs(ref).max() < 1e-5
+
+    def test_eligibility_gates(self):
+        import dataclasses
+
+        from zdr_tpu.integrators import pallas_loop as plp
+
+        s = _cbox()
+        cfg = self._cfg(s, (16, 16), 4)
+        assert plp.loop_eligible(s._data, cfg)
+        # non-pow2 spp: pmj02bn falls back to the 2-kernel pipeline
+        cfg12 = dataclasses.replace(self._cfg(s, (16, 16), 4), spp=12)
+        assert not plp.loop_eligible(s._data, cfg12)
+        assert plp.loop_eligible(
+            s._data, dataclasses.replace(cfg12, sampler="lcg")
+        )
+        # env scenes keep the glue route (alias/equirect gathers)
+        s_env = _cbox()
+        s_env.add_envmap(make_test_envmap())
+        assert not plp.loop_eligible(s_env._data, self._cfg(s_env, (16, 16), 4))
+        from zdr_tpu.integrators.path_fused import fused_eligible as fe
+
+        assert fe(s_env._data, self._cfg(s_env, (16, 16), 4))
+
+    def test_point_light_loop(self):
+        """Point lights are loop-capable (in-kernel NEE where-chain)."""
+        s = _cbox()
+        s.add_point_light((0.0, 4.5, -4.0), 6.0)
+        cfg = self._cfg(s, (16, 16), 4)
+        from zdr_tpu.integrators import pallas_loop as plp
+        from zdr_tpu.integrators import path_fused as pf
+        from zdr_tpu.integrators.wrapper import _pixel_grid
+
+        assert plp.loop_eligible(s._data, cfg)
+        coords = _pixel_grid(cfg.res)
+        a = np.asarray(pf.render_path_fused(
+            s._data, MAT, s.camera, jnp.int32(1), cfg, coords))
+        b = np.asarray(plp.render_path_loop(
+            s._data, MAT, s.camera, jnp.int32(1), cfg, coords))
+        np.testing.assert_allclose(a, b, atol=2e-6)

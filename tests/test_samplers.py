@@ -247,3 +247,64 @@ def test_pmj_point_matches_table():
     # table is 16-bit-quantized for packing; procedural is full precision
     assert np.abs(np.asarray(x, np.float64) - tx).max() < 1.0 / 65536.0
     assert np.abs(np.asarray(y, np.float64) - ty).max() < 1.0 / 65536.0
+
+
+class TestPow2FastPath:
+    """The loop-free power-of-two permutation (hashes.permutation_element_
+    pow2 via the *SamplerP2 classes) must be BIT-identical to the generic
+    rejection-loop form, and the factory must pick the right class."""
+
+    def test_permutation_pow2_bitwise(self):
+        from zdr_tpu.samplers.hashes import permutation_element_pow2
+
+        rng = np.random.RandomState(7)
+        for l in (1, 2, 8, 64, 1024):
+            w = next_pow2_mask(l)
+            i = jnp.asarray(rng.randint(0, l, size=257), jnp.uint32)
+            p = jnp.asarray(rng.randint(0, 2**31, size=257), jnp.uint32)
+            a = permutation_element(i, jnp.uint32(l), jnp.uint32(w), p)
+            b = permutation_element_pow2(i, jnp.uint32(w), p)
+            assert (np.asarray(a) == np.asarray(b)).all(), l
+
+    @pytest.mark.parametrize("kind", ["pmj02bn", "corrmj"])
+    def test_draw_streams_bitwise_equal(self, kind):
+        """Force the generic class on a pow2 spp and compare every draw."""
+        coords = jnp.stack(
+            [jnp.arange(64, dtype=jnp.int32) % 8,
+             jnp.arange(64, dtype=jnp.int32) // 8], axis=-1
+        )
+        spp = 16
+        s_fast = make_sampler(kind, coords, 5, spp, 3)
+        # rebuild as the generic base class (same field values)
+        base = type(s_fast).__mro__[1]
+        s_slow = base(*s_fast)
+        assert type(s_fast) is not base  # factory picked the P2 class
+        for _ in range(4):
+            u1f, s_fast = s_fast.next1()
+            u1s, s_slow = s_slow.next1()
+            assert (np.asarray(u1f) == np.asarray(u1s)).all()
+            u2f, s_fast = s_fast.next2()
+            u2s, s_slow = s_slow.next2()
+            assert (np.asarray(u2f) == np.asarray(u2s)).all()
+
+    def test_non_pow2_uses_generic(self):
+        from zdr_tpu.samplers.pmj02bn import PMJ02BNSampler, PMJ02BNSamplerP2
+
+        coords = jnp.zeros((4, 2), jnp.int32)
+        assert type(make_sampler("pmj02bn", coords, 0, 12, 0)) is PMJ02BNSampler
+        assert type(make_sampler("pmj02bn", coords, 0, 16, 0)) is PMJ02BNSamplerP2
+
+
+def test_pack_quads_half_roundtrip():
+    """pack_quads(half=True) -> (T, 8) f32 bf16-pair rows; unpack must
+    reproduce bf16-quantized texels in the documented channel order."""
+    from zdr_tpu.texture import pack_quads, unpack_quad_rows
+
+    rng = np.random.RandomState(11)
+    mat = jnp.asarray(rng.rand(5, 6, 4), jnp.float32)
+    full = np.asarray(pack_quads(mat, False))
+    packed = pack_quads(mat, True)
+    assert packed.shape == (4 * 5, 8) and packed.dtype == jnp.float32
+    got = np.asarray(unpack_quad_rows(packed))
+    want = np.asarray(jnp.asarray(full).astype(jnp.bfloat16), np.float32)
+    assert (got == want).all()

@@ -1567,7 +1567,12 @@ def read_quads_planes(ux, uy, packed, h, w):
     y0 = jnp.clip(jnp.floor(y), 0, h - 2)
     fx = jnp.clip(x - x0, 0.0, 1.0)
     fy = jnp.clip(y - y0, 0.0, 1.0)
-    rows = packed[(y0 * (w - 1) + x0).astype(jnp.int32)].astype(jnp.float32)
+    rows = packed[(y0 * (w - 1) + x0).astype(jnp.int32)]
+    if rows.shape[-1] == 8:  # bf16-pair-packed table (texture.pack_quads)
+        from ..texture import unpack_quad_rows
+
+        rows = unpack_quad_rows(rows)
+    rows = rows.astype(jnp.float32)
     w00 = (1 - fx) * (1 - fy)
     w01 = (1 - fx) * fy
     w10 = fx * (1 - fy)

@@ -150,11 +150,17 @@ def render_forward_rays(
     This is the shardable unit: devices each take a slice of the pixel grid
     (see zdr_tpu.parallel)."""
     if cfg.integrator == "path" and cfg.persistent:
+        from .pallas_loop import loop_eligible, render_path_loop
         from .path_fused import fused_eligible, render_path_fused
         from .path_persistent import render_path_persistent
 
-        if cfg.bilinear and material.shape[0] >= 2 and material.shape[1] >= 2 and fused_eligible(data, cfg):
-            return render_path_fused(data, material, camera, seed, cfg, coords, it_start)
+        if cfg.bilinear and material.shape[0] >= 2 and material.shape[1] >= 2:
+            if loop_eligible(data, cfg):
+                return render_path_loop(
+                    data, material, camera, seed, cfg, coords, it_start
+                )
+            if fused_eligible(data, cfg):
+                return render_path_fused(data, material, camera, seed, cfg, coords, it_start)
         return render_path_persistent(data, material, camera, seed, cfg, coords, it_start)
 
     if cfg.integrator == "direct":
@@ -228,13 +234,20 @@ def render_grad_rays(
 ) -> jnp.ndarray:
     """d_material for one pixel-coord batch given per-sample adjoints (M,3)."""
     if cfg.integrator == "path" and cfg.persistent:
+        from .pallas_loop import loop_eligible, render_path_backward_loop
         from .path_fused import fused_eligible, render_path_backward_fused
         from .path_persistent import render_path_backward_persistent
 
-        if cfg.bilinear and material.shape[0] >= 2 and material.shape[1] >= 2 and fused_eligible(data, cfg):
-            return render_path_backward_fused(
-                data, material, camera, seed, cfg, coords, le_grad, it_start
-            )
+        if cfg.bilinear and material.shape[0] >= 2 and material.shape[1] >= 2:
+            if loop_eligible(data, cfg):
+                return render_path_backward_loop(
+                    data, material, camera, seed, cfg, coords, le_grad,
+                    it_start,
+                )
+            if fused_eligible(data, cfg):
+                return render_path_backward_fused(
+                    data, material, camera, seed, cfg, coords, le_grad, it_start
+                )
         return render_path_backward_persistent(
             data, material, camera, seed, cfg, coords, le_grad, it_start
         )

@@ -18,6 +18,8 @@ from .hashes import (
     lcg_step,
     lcg_to_unit_float,
     permutation_element,
+    u32_to_f32,
+    permutation_element_pow2,
     u32,
     xxhash32_4,
 )
@@ -43,13 +45,20 @@ class CorrMJSampler(NamedTuple):
     # permutation_seed/spp/w/res/resw are restart-invariant (same px/py/seed)
     _RESTART_VARYING = ("sample_index", "dimension", "state")
 
+    # Kensler permutation: generic rejection-loop form; CorrMJSamplerP2
+    # (spp AND grid side both powers of two) overrides with the loop-free
+    # bit-identical fast path (see hashes.permutation_element_pow2).
+    @staticmethod
+    def _perm(i, l, w, p):
+        return permutation_element(i, l, w, p)
+
     def salt(self) -> jnp.ndarray:
         """Per-lane, per-bounce uint32 side-channel (see LCGSampler.salt)."""
         return self.state ^ (self.dimension * U32(0x9E3779B9)) ^ U32(0x5F356495)
 
     def next1(self) -> Tuple[jnp.ndarray, "CorrMJSampler"]:
         ps = self.permutation_seed + self.dimension
-        index = permutation_element(
+        index = self._perm(
             self.sample_index,
             self.spp,
             self.w,
@@ -57,14 +66,14 @@ class CorrMJSampler(NamedTuple):
         )
         state = lcg_step(self.state)
         delta = lcg_to_unit_float(state)
-        u = (index.astype(jnp.float32) + delta) / self.spp.astype(jnp.float32)
+        u = (u32_to_f32(index) + delta) / u32_to_f32(self.spp)
         u = jnp.clip(u, 0.0, ONE_MINUS_EPSILON)
         return u, self._replace(dimension=self.dimension + U32(1), state=state)
 
     def _next2_xy(self):
         """2D draw as two separate component arrays (plane-layout friendly)."""
         ps = self.permutation_seed + self.dimension
-        index = permutation_element(
+        index = self._perm(
             self.sample_index,
             self.spp,
             self.w,
@@ -73,19 +82,19 @@ class CorrMJSampler(NamedTuple):
         res = self.res
         y = index // res
         x = index % res
-        sx = permutation_element(
+        sx = self._perm(
             x, res, self.resw, (ps * U32(0x68BC21EB)) & U32(0x70FFFFFF)
         )
-        sy = permutation_element(
+        sy = self._perm(
             y, res, self.resw, (ps * U32(0x02E5BE93)) & U32(0x70FFFFFF)
         )
         s1 = lcg_step(self.state)
         dx = lcg_to_unit_float(s1)
         s2 = lcg_step(s1)
         dy = lcg_to_unit_float(s2)
-        resf = res.astype(jnp.float32)
-        ux = (x.astype(jnp.float32) + (sy.astype(jnp.float32) + dx) / resf) / resf
-        uy = (y.astype(jnp.float32) + (sx.astype(jnp.float32) + dy) / resf) / resf
+        resf = u32_to_f32(res)
+        ux = (u32_to_f32(x) + (u32_to_f32(sy) + dx) / resf) / resf
+        uy = (u32_to_f32(y) + (u32_to_f32(sx) + dy) / resf) / resf
         ux = jnp.clip(ux, 0.0, ONE_MINUS_EPSILON)
         uy = jnp.clip(uy, 0.0, ONE_MINUS_EPSILON)
         return (ux, uy), self._replace(dimension=self.dimension + U32(2), state=s2)
@@ -93,6 +102,20 @@ class CorrMJSampler(NamedTuple):
     def next2(self) -> Tuple[jnp.ndarray, "CorrMJSampler"]:
         (ux, uy), smp = self._next2_xy()
         return jnp.stack([ux, uy], axis=-1), smp
+
+
+class CorrMJSamplerP2(CorrMJSampler):
+    """Variant for spp AND the MJ grid side both powers of two: the
+    permutation rejection loops never reject, so every draw drops its
+    while_loop + full-plane any() reduce (bit-identical results)."""
+
+    @staticmethod
+    def _perm(i, l, w, p):
+        return permutation_element_pow2(i, w, p)
+
+
+def _is_pow2(n: int) -> bool:
+    return n > 0 and (n & (n - 1)) == 0
 
 
 def make_corrmj_sampler_xy(px, py, seed, spp: int, sample_index) -> CorrMJSampler:
@@ -105,7 +128,13 @@ def make_corrmj_sampler_xy(px, py, seed, spp: int, sample_index) -> CorrMJSample
     resw = _pow2_mask(res)
     seed_a = jnp.broadcast_to(u32(seed), shape)
     si = jnp.broadcast_to(u32(sample_index), shape)
-    return CorrMJSampler(
+    if isinstance(spp, int) and _is_pow2(spp) and _is_pow2(
+        max(1, int((float(spp) + 0.4) ** 0.5))
+    ):
+        cls = CorrMJSamplerP2
+    else:
+        cls = CorrMJSampler
+    return cls(
         sample_index=si,
         dimension=jnp.zeros(shape, jnp.uint32),
         permutation_seed=xxhash32_4(px, py, seed_a, U32(0)),

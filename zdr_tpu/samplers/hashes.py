@@ -11,11 +11,28 @@ import jax
 import jax.numpy as jnp
 
 U32 = jnp.uint32
-ONE_MINUS_EPSILON = jnp.float32(float.fromhex("0x1.fffffep-1"))
+# a PYTHON float (not a jnp scalar): jnp constants captured in closures
+# become pallas "captured constants" errors inside kernels; a weak-typed
+# python float clips/compares to the identical f32 value
+ONE_MINUS_EPSILON = float.fromhex("0x1.fffffep-1")
 
 
 def u32(x) -> jnp.ndarray:
     return jnp.asarray(x).astype(U32)
+
+
+def u32_to_f32(v: jnp.ndarray) -> jnp.ndarray:
+    """uint32 -> float32 value cast, Mosaic-compatible.
+
+    Mosaic has no u32->f32 lowering, so split into exact 16-bit halves and
+    recombine: hi * 65536 is exact in f32 and the single rounding of the
+    add equals the direct cast's rounding of the same integer — bitwise
+    identical to `v.astype(float32)` under round-to-nearest-even (gated by
+    tests/test_samplers.py), and XLA folds it to ~4 vector ops."""
+    v = u32(v)
+    hi = (v >> U32(16)).astype(jnp.int32).astype(jnp.float32)
+    lo = (v & U32(0xFFFF)).astype(jnp.int32).astype(jnp.float32)
+    return hi * jnp.float32(65536.0) + lo
 
 
 def xxhash32_4(x, y, z, w) -> jnp.ndarray:
@@ -90,6 +107,19 @@ def permutation_element(
     return (cand + p) % l
 
 
+def permutation_element_pow2(
+    i: jnp.ndarray, w: jnp.ndarray, p: jnp.ndarray
+) -> jnp.ndarray:
+    """permutation_element for the static case l == w + 1 (power-of-two
+    list length): the first-round candidate is always in [0, w] < l, so the
+    rejection loop — and its full-plane any() reduce, paid per draw inside
+    persistent bounce loops — vanishes, and (cand + p) % l == (cand + p) & w.
+    Bit-identical to permutation_element whenever l == w + 1 (gated by
+    tests/test_samplers.py)."""
+    cand = _permute_round(u32(i), u32(w), u32(p))
+    return (cand + u32(p)) & u32(w)
+
+
 def lcg_step(state: jnp.ndarray) -> jnp.ndarray:
     return u32(state) * U32(1664525) + U32(1013904223)
 
@@ -111,7 +141,7 @@ def lcg_to_unit_float(state: jnp.ndarray) -> jnp.ndarray:
     The raw LCG (corrmj.py:87-92 uses it directly) has visibly correlated
     low bits; the finalizer fixes stratification-test failures without
     changing the functional sampler interface."""
-    return (_finalize(state) >> U32(8)).astype(jnp.float32) * jnp.float32(
+    return u32_to_f32(_finalize(state) >> U32(8)) * jnp.float32(
         1.0 / 0x01000000
     )
 

@@ -34,7 +34,9 @@ from .hashes import (
     U32,
     next_pow2_mask,
     permutation_element,
+    permutation_element_pow2,
     u32,
+    u32_to_f32,
     xxhash32_4,
 )
 
@@ -158,8 +160,8 @@ def _pmj_point(set_idx: jnp.ndarray, index: jnp.ndarray):
     # vdc(vdc(index)) cancels and the Sobol' xors above bit 15 are dead
     xu = _owen_rev_u32(index, sx)
     yu = _owen_u32(_sobol2_u32(index, n_bits=16), sy)
-    x = xu.astype(jnp.float32) * jnp.float32(2.0 ** -32)
-    y = yu.astype(jnp.float32) * jnp.float32(2.0 ** -32)
+    x = u32_to_f32(xu) * jnp.float32(2.0 ** -32)
+    y = u32_to_f32(yu) * jnp.float32(2.0 ** -32)
     return x, y
 
 
@@ -202,6 +204,13 @@ class PMJ02BNSampler(NamedTuple):
     # recomputed bit-identically (see samplers.select_on_restart)
     _RESTART_VARYING = ("sample_index", "dimension")
 
+    # Kensler permutation within spp: the generic rejection-loop form.
+    # PMJ02BNSamplerP2 (power-of-two spp, the common case) overrides it
+    # with the loop-free bit-identical fast path.
+    @staticmethod
+    def _perm(i, l, w, p):
+        return permutation_element(i, l, w, p)
+
     def salt(self) -> jnp.ndarray:
         """Per-lane, per-bounce uint32 side-channel (see LCGSampler.salt)."""
         return xxhash32_4(
@@ -213,9 +222,9 @@ class PMJ02BNSampler(NamedTuple):
 
     def next1(self) -> Tuple[jnp.ndarray, "PMJ02BNSampler"]:
         h = xxhash32_4(self.px, self.py, self.dimension, self.seed)
-        index = permutation_element(self.sample_index, self.spp, self.w, h)
+        index = self._perm(self.sample_index, self.spp, self.w, h)
         delta = _bn_select(self.bn_cache, self.dimension)
-        u = (index.astype(jnp.float32) + delta) / self.spp.astype(jnp.float32)
+        u = (u32_to_f32(index) + delta) / u32_to_f32(self.spp)
         u = jnp.clip(u, 0.0, ONE_MINUS_EPSILON)
         return u, self._replace(dimension=self.dimension + U32(1))
 
@@ -227,7 +236,7 @@ class PMJ02BNSampler(NamedTuple):
         n_samples = 65536
         instance = self.dimension // U32(2)
         h = xxhash32_4(self.px, self.py, self.dimension, self.seed)
-        permuted = permutation_element(self.sample_index, self.spp, self.w, h)
+        permuted = self._perm(self.sample_index, self.spp, self.w, h)
         index = jnp.where(instance >= n_sets, permuted, self.sample_index)
         index = index % U32(n_samples)
         set_idx = (instance % U32(n_sets)).astype(jnp.int32)
@@ -243,6 +252,19 @@ class PMJ02BNSampler(NamedTuple):
         return jnp.stack([ux, uy], axis=-1), smp
 
 
+class PMJ02BNSamplerP2(PMJ02BNSampler):
+    """Power-of-two-spp variant: the Kensler permutation's rejection loop
+    never rejects (candidates are already in [0, spp)), so the while_loop
+    — and the full-plane any() reduce its cond pays on EVERY draw inside a
+    persistent bounce loop — is replaced by the loop-free bit-identical
+    form. Chosen statically by the factory; a distinct pytree type, so jit
+    caches it separately from the generic class."""
+
+    @staticmethod
+    def _perm(i, l, w, p):
+        return permutation_element_pow2(i, w, p)
+
+
 def make_pmj02bn_sampler_xy(px, py, seed, spp: int, sample_index) -> PMJ02BNSampler:
     """px/py: int arrays of any shape; seed/sample_index scalars or like px."""
     shape = px.shape
@@ -256,7 +278,12 @@ def make_pmj02bn_sampler_xy(px, py, seed, spp: int, sample_index) -> PMJ02BNSamp
     else:
         w_a = jnp.full(shape, w, jnp.uint32)
     seed_a = jnp.broadcast_to(u32(seed), shape)
-    return PMJ02BNSampler(
+    cls = (
+        PMJ02BNSamplerP2
+        if isinstance(spp, int) and spp > 0 and (spp & (spp - 1)) == 0
+        else PMJ02BNSampler
+    )
+    return cls(
         px=px.astype(jnp.int32),
         py=py.astype(jnp.int32),
         sample_index=jnp.broadcast_to(u32(sample_index), shape),

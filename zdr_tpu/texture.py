@@ -321,9 +321,12 @@ def pack_quads(material: jnp.ndarray, half: bool = False) -> jnp.ndarray:
     so this is the single biggest texture-fetch lever (measured ~25%+ of a
     path bounce).
 
-    half=True stores the table as bfloat16 (RenderConfig.texture_bf16):
-    gather rate improves with row bytes and table size (tools/
-    profile_gather.py), at <=0.4% material quantization on the fetch path
+    half=True stores each row as EIGHT f32 words carrying bf16 pairs
+    (pack_bf16_pair layout: even channel in the high half). TPU row-gather
+    cost scales with row WIDTH, not just bytes (tools/profile_gather2.py,
+    v5e: (N,8) f32 rows gather ~1.6x faster than (N,16) — while a (N,16)
+    bf16 table gathers SLOWER than f32, so sub-word rows are the wrong
+    axis). <=0.4% material quantization on the fetch path only
     (accumulation and the API-facing texture stay float32)."""
     c00 = material[:-1, :-1]
     c01 = material[1:, :-1]
@@ -331,7 +334,16 @@ def pack_quads(material: jnp.ndarray, half: bool = False) -> jnp.ndarray:
     c11 = material[1:, 1:]
     h1, w1 = c00.shape[0], c00.shape[1]
     out = jnp.concatenate([c00, c01, c10, c11], axis=-1).reshape(h1 * w1, 16)
-    return out.astype(jnp.bfloat16) if half else out
+    if half:
+        return pack_bf16_pair(out[:, 0::2], out[:, 1::2])  # (T, 8)
+    return out
+
+
+def unpack_quad_rows(rows: jnp.ndarray) -> jnp.ndarray:
+    """(..., 8) f32 bf16-pair rows -> (..., 16) f32 quad values (inverse of
+    pack_quads(half=True)'s channel interleave)."""
+    hi, lo = unpack_bf16_pair(rows)  # even / odd channels
+    return jnp.stack([hi, lo], axis=-1).reshape(*rows.shape[:-1], 16)
 
 
 def _read_bsdf_quads(uv: jnp.ndarray, packed: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
@@ -345,7 +357,10 @@ def _read_bsdf_quads(uv: jnp.ndarray, packed: jnp.ndarray, h: int, w: int) -> jn
     y0 = jnp.clip(jnp.floor(y), 0, h - 2)
     fx = jnp.clip(x - x0, 0.0, 1.0)
     fy = jnp.clip(y - y0, 0.0, 1.0)
-    rows = packed[(y0 * (w - 1) + x0).astype(jnp.int32)].astype(jnp.float32)
+    rows = packed[(y0 * (w - 1) + x0).astype(jnp.int32)]
+    if rows.shape[-1] == 8:  # bf16-pair-packed table (pack_quads half=True)
+        rows = unpack_quad_rows(rows)
+    rows = rows.astype(jnp.float32)
     w00 = ((1 - fx) * (1 - fy))[..., None]
     w01 = ((1 - fx) * fy)[..., None]
     w10 = (fx * (1 - fy))[..., None]
