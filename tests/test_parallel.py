@@ -102,6 +102,12 @@ class TestShardedRender:
         single-device fused render (VERDICT r2 item 6a)."""
         scene.fused = "force"
         scene.packed_splat = False  # exact splats: see gradient test above
+        # merge=1: the loop backward's post-pass walks stored taps in
+        # reverse iteration order, so merge-group boundaries depend on the
+        # shard's max iteration count — sharded and single-device merge
+        # REALIZATIONS differ at merge > 1 (both unbiased; merge statistics
+        # gated in test_config_knobs). Per-tap flushing is shard-invariant.
+        scene.splat_merge = 1
         mat = jnp.full((8, 8, 4), 0.5)
         try:
             sharded = render_sharded(scene, mat, res=(16, 16), spp=2, seed=0, mesh=mesh)
@@ -124,6 +130,7 @@ class TestShardedRender:
         finally:
             scene.fused = "auto"
             scene.packed_splat = True
+            scene.splat_merge = 4
 
     def test_streamed_sharded_matches_single_device(self, mesh):
         """The HBM-streamed big-mesh trace under shard_map: per-device

@@ -1101,13 +1101,10 @@ def render_path_backward_loop(
     backward (merge pairings differ at splat_merge > 1 — both unbiased);
     iteration count halves, so bwd cost ~= fwd cost + the flush.
     """
-    from .path_persistent import SCATTER_BATCH
     from ..texture import (
         cm_to_texture,
-        flush_splat_buffer,
-        make_splat_buffer,
         reservoir_merge_taps,
-        splat_buffer_row,
+        segment_scatter_add4,
     )
 
     (meta, scene_pack, light_pack, li, pp, packed, rows, pxp, pyp, real,
@@ -1135,16 +1132,9 @@ def render_path_backward_loop(
     lg = tuple(pad_to_planes(le_grad[:, c], rows) for c in range(3))
 
     max_iters = (win_count + 1) * md + md
-    s_cap = min(max_iters, LOOP_TAP_CAP)
-    n_lanes = rows * LANES
     merge = max(1, int(cfg.splat_merge))
-    buf0 = make_splat_buffer(SCATTER_BATCH, n_lanes, n_bins, cfg.packed_splat)
-    zeros = jnp.zeros((rows, LANES), jnp.float32)
-    pend0 = (jnp.full((rows, LANES), n_bins, jnp.int32),
-             zeros, zeros, zeros, zeros)
-
-    def flush(d_mat, buf):
-        return flush_splat_buffer(d_mat, buf, n_bins, cfg.packed_splat)
+    # merge groups reshape the tap store: keep its length a group multiple
+    s_cap = -(-min(max_iters, LOOP_TAP_CAP) // merge) * merge
 
     carry0 = _init_carry(kind, rows, start_idx, stop_idx, real)
     taps0 = (
@@ -1177,67 +1167,92 @@ def render_path_backward_loop(
         ]
         return it + 1, carry, taps
 
-    def post_pass(n_inner, taps, d_mat, buf, pend, gtap):
-        """Reverse scan over the stored iterations: recover the suffix
-        radiance G', finalize taps, reservoir-merge, flush."""
+    def post_pass(n_inner, taps, d_mat):
+        """Vectorized tap finalize: segmented reverse associative scans
+        recover the per-iteration suffix radiance G' and the sample's
+        NaN-ok flag over the WHOLE (s_cap, rows, LANES) tap store at once,
+        the tap algebra is elementwise, merge groups fold statically, and
+        one sort-based scatter drains everything. No serial per-iteration
+        loop: a fori/scan post-pass measured ~4x slower whenever the
+        backward shared an XLA program with another large computation
+        (the jit(value_and_grad) user path), while the parallel form is
+        schedule-robust — and faster outright."""
+        (rad_r, rad_g, rad_b, p0, p1, p2, p3, q0, q1, q2,
+         s0, s1, s2, u_m) = taps[:14]
+        ids_raw, flags = taps[14], taps[15]
+        its = jnp.arange(s_cap, dtype=jnp.int32)
+        valid = (its < n_inner)[:, None, None]
+        term = ((flags & 1) != 0) & valid
+        good = (flags & 2) != 0
 
-        def step(j, st):
-            g_carry, ok_carry, d_mat, buf, pend, gtap = st
-            it = n_inner - 1 - j
-            rd = [
-                jax.lax.dynamic_index_in_dim(taps[k], it, 0, keepdims=False)
-                for k in range(N_TAP_PLANES)
-            ]
-            (rad_r, rad_g, rad_b, p0, p1, p2, p3, q0, q1, q2,
-             s0, s1, s2, u_m) = rd[:14]
-            ids = rd[14]
-            flags = rd[15]
-            term = (flags & 1) != 0
-            good = (flags & 2) != 0
-            gp = tuple(
-                jnp.where(term, 0.0, g_carry[c]) for c in range(3)
-            )  # G' = suffix AFTER this bounce
-            ok = jnp.where(term, good, ok_carry != 0)
-            g_new = (rad_r + gp[0], rad_g + gp[1], rad_b + gp[2])
-            g0 = p0 + gp[0] * q0
-            g1 = p1 + gp[1] * q1
-            g2 = p2 + gp[2] * q2
-            g3 = p3 + gp[0] * s0 + gp[1] * s1 + gp[2] * s2
-            gs = [
-                jnp.where(ok & ~jnp.isnan(g), g, 0.0)
-                for g in (g0, g1, g2, g3)
-            ]
-            new_tap = (ids, gs[0], gs[1], gs[2], gs[3])
-            if merge > 1:
-                merged = reservoir_merge_taps(pend, new_tap, u_m, n_bins)
-                group_end = jnp.mod(gtap, merge) == merge - 1
-                pend = tuple(
-                    jnp.where(group_end, z, v) for z, v in zip(pend0, merged)
-                )
-                write_tap = merged
-                slot = jnp.mod(gtap // merge, SCATTER_BATCH)
-                do_flush = (
-                    jnp.mod(gtap, merge * SCATTER_BATCH)
-                    == merge * SCATTER_BATCH - 1
-                )
-            else:
-                write_tap = new_tap
-                slot = jnp.mod(gtap, SCATTER_BATCH)
-                do_flush = slot == SCATTER_BATCH - 1
-            row = splat_buffer_row(*write_tap, cfg.packed_splat)
-            buf = jax.lax.dynamic_update_index_in_dim(buf, row, slot, 0)
-            d_mat = jax.lax.cond(
-                do_flush, lambda a: flush(*a), lambda a: a[0], (d_mat, buf)
+        # associative_scan(reverse=True) flips, scans forward, flips back:
+        # the LEFT operand aggregates the LATER elements and the current
+        # element joins on the RIGHT — so the segmented operators are the
+        # mirror of their forward form (b = the earlier/current element)
+        def seg_sum(a, b):
+            (va, fa), (vb, fb) = a, b
+            return (jnp.where(fb, vb, vb + va), fa | fb)
+
+        def seg_first(a, b):
+            (va, fa), (vb, fb) = a, b
+            return (jnp.where(fb, vb, va), fa | fb)
+
+        # G[it] = rad[it] + (term[it] ? 0 : G[it+1]); G'[it] = the suffix
+        # AFTER it = where(term, 0, G[it+1]) — taken from the shifted scan
+        # result (no subtraction: bit-matches the sequential bookkeeping)
+        gp = []
+        for rad in (rad_r, rad_g, rad_b):
+            g, _ = jax.lax.associative_scan(
+                seg_sum, (rad, term), axis=0, reverse=True
             )
-            buf = jnp.where(do_flush, buf0, buf)
-            return (g_new, ok.astype(jnp.int32), d_mat, buf, pend, gtap + 1)
-
-        init = (
-            (zeros, zeros, zeros), jnp.ones((rows, LANES), jnp.int32),
-            d_mat, buf, pend, gtap,
+            g_next = jnp.concatenate(
+                [g[1:], jnp.zeros_like(g[:1])], axis=0
+            )
+            gp.append(jnp.where(term, 0.0, g_next))
+        okv, okf = jax.lax.associative_scan(
+            seg_first, (good & term, term), axis=0, reverse=True
         )
-        out = jax.lax.fori_loop(0, n_inner, step, init)
-        return out[2], out[3], out[4], out[5]
+        ok = jnp.where(term, good, okv | ~okf)  # no later term: keep taps
+
+        g0 = p0 + gp[0] * q0
+        g1 = p1 + gp[1] * q1
+        g2 = p2 + gp[2] * q2
+        g3 = p3 + gp[0] * s0 + gp[1] * s1 + gp[2] * s2
+        gs = [jnp.where(ok & ~jnp.isnan(g), g, 0.0)
+              for g in (g0, g1, g2, g3)]
+        ids = jnp.where(valid, ids_raw, n_bins)
+
+        # reservoir-merge groups of `merge` consecutive iterations
+        # (ascending — shard-count-invariant), as a static fold with the
+        # stored per-iteration u_m draws: identical algebra to the
+        # sequential pend carry
+        if merge > 1:
+            ng = s_cap // merge
+
+            def grp(x):
+                return x.reshape(ng, merge, rows, LANES)
+
+            gi, gg0, gg1, gg2, gg3, gu = (
+                grp(ids), grp(gs[0]), grp(gs[1]), grp(gs[2]), grp(gs[3]),
+                grp(u_m),
+            )
+            cur = (gi[:, 0], gg0[:, 0], gg1[:, 0], gg2[:, 0], gg3[:, 0])
+            for j in range(1, merge):
+                cur = reservoir_merge_taps(
+                    cur, (gi[:, j], gg0[:, j], gg1[:, j], gg2[:, j],
+                          gg3[:, j]),
+                    gu[:, j], n_bins,
+                )
+            out_ids, o0, o1, o2, o3 = cur
+        else:
+            out_ids, o0, o1, o2, o3 = ids, gs[0], gs[1], gs[2], gs[3]
+
+        add = segment_scatter_add4(
+            out_ids.reshape(-1),
+            [o0.reshape(-1), o1.reshape(-1), o2.reshape(-1), o3.reshape(-1)],
+            n_bins, packed=cfg.packed_splat,
+        )
+        return d_mat + add
 
     def outer_cond(st):
         carry = st[1]
@@ -1245,23 +1260,20 @@ def render_path_backward_loop(
         return jnp.any(si < stop_idx) & (st[0] < max_iters)
 
     def outer_body(st):
-        it_o, carry, taps, d_mat, buf, pend, gtap = st
+        # the tap store is PASS-LOCAL (fully drained by post_pass), so it
+        # must not ride the outer carry: carrying the multi-GB buffers
+        # through the resume loop measured ~4x slower on the whole
+        # backward whenever it shared a program with another computation
+        it_o, carry, d_mat = st
         n_inner, carry, taps = jax.lax.while_loop(
-            inner_cond, inner_body, (jnp.zeros((), jnp.int32), carry, taps)
+            inner_cond, inner_body, (jnp.zeros((), jnp.int32), carry, taps0)
         )
-        d_mat, buf, pend, gtap = post_pass(
-            n_inner, taps, d_mat, buf, pend, gtap
-        )
-        return (it_o + n_inner, carry, taps, d_mat, buf, pend, gtap)
+        d_mat = post_pass(n_inner, taps, d_mat)
+        return (it_o + n_inner, carry, d_mat)
 
     st = (
-        jnp.zeros((), jnp.int32), carry0, taps0,
-        jnp.zeros((4, n_bins), material.dtype), buf0, pend0,
-        jnp.zeros((), jnp.int32),
+        jnp.zeros((), jnp.int32), carry0,
+        jnp.zeros((4, n_bins), material.dtype),
     )
     st = jax.lax.while_loop(outer_cond, outer_body, st)
-    # a partial merge group is already buffer-resident: merged taps are
-    # (re)written to their slot every iteration (path_fused parity), so the
-    # final flush drains everything
-    d_mat = flush(st[3], st[4])
-    return cm_to_texture(d_mat, h, w)
+    return cm_to_texture(st[2], h, w)
