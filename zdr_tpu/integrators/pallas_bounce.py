@@ -595,7 +595,16 @@ def _mxu_rowdot(brows, aug):
 def _tile_uv_t(gat_r, tile, ti, od, N, prec, t_lo):
     """Woop sweep of ONE triangle tile against a 2N-stacked [o|d] rhs.
     Returns (ok (tile, N) bool, tq (tile, N) f32) — the shared inner body
-    of _mxu_sweep_row and the streamed worklist kernels."""
+    of _mxu_sweep_row and the streamed worklist kernels.
+
+    NOTE (round 5): stacking the u/v/w row-sets along the tile axis so
+    each precision pass is ONE (4, 3*tile) matmul instead of three (the
+    K=4 dots are issue-latency-bound; per-tile cost measures ~7x the
+    FLOP+VPU floor) is blocked by a Mosaic limitation: concatenating VMEM
+    slices taken at different row offsets fails to lower ("result/input
+    offset mismatch on non-concat dimension"), including via +0.0 copies.
+    A tile-grouped (4, 3*t_pad) side table would need new ref plumbing
+    through every sweep kernel — left for a future round."""
     ts = pl.ds(ti * tile, tile)
     ouv = _sweep_dot(gat_r[0:4, ts], od, prec)  # (tile, 2N)
     ovv = _sweep_dot(gat_r[4:8, ts], od, prec)
