@@ -79,6 +79,11 @@ def main():
         "one per device group, and steps on the joint loss",
     )
     ap.add_argument("--iters", type=int, default=None)
+    ap.add_argument(
+        "--tex", type=int, default=None,
+        help="texture side override (coarser = more gradient signal per "
+        "texel: the CI convergence gate uses 8)",
+    )
     args = ap.parse_args()
     n_lights = 10 if args.small else 30
     res = (48, 48) if args.small else (512, 512)
@@ -94,7 +99,7 @@ def main():
     )
 
     key = jax.random.PRNGKey(5)
-    tex = 32 if args.small else 256
+    tex = args.tex if args.tex else (32 if args.small else 256)
     material_gt = jax.random.uniform(key, (tex, tex, 4), minval=0.2, maxval=0.8)
 
     # GT views: one render per light pattern (update_lights switching,

@@ -82,15 +82,19 @@ class TestLightstage:
                 err_msg=f"view {p}",
             )
 
-    def test_batched_mode_smoke(self, monkeypatch):
+    def test_batched_mode_recovers(self, monkeypatch):
         """--batched: all patterns render per step through
-        parallel.render_batch over the CPU mesh. At CI sizes the joint loss
-        is MC-noise-dominated (measured: batched grad vs (m0-GT) diffuse
-        cosine +0.09 — right sign, weak signal), so this is a plumbing
-        smoke with a no-divergence gate; batched==sequential equivalence is
-        gated bit-tight in test_parallel.py::TestBatchedViews."""
+        parallel.render_batch over the CPU mesh, and the joint optimizer
+        RECOVERS (VERDICT r4 item 8): at an 8^2 texture each texel
+        averages enough pixels that the gradient signal beats the CI-sized
+        MC noise (calibrated: diffuse error 0.1535 -> 0.1479 and loss
+        704 -> 640 in 10 iterations; the 32^2 CI texture showed no
+        measurable recovery at this budget). batched==sequential
+        equivalence is gated bit-tight in test_parallel.py."""
         monkeypatch.setattr(
-            sys, "argv", ["lightstage.py", "--small", "--batched", "--iters", "6"]
+            sys, "argv",
+            ["lightstage.py", "--small", "--batched", "--iters", "10",
+             "--tex", "8"],
         )
         import importlib
 
@@ -99,7 +103,9 @@ class TestLightstage:
         importlib.reload(lightstage)
         r = lightstage.main()
         assert r["loss_first"] > 0 and r["noise_floor"] > 0, r
-        # joint steps must not blow up: the loss stays in the noise band
+        # convergence, not boundedness: the diffuse error must shrink
+        # from the 0.5-init and the joint loss must drop
+        assert r["tex_err_diffuse"] < 0.985 * r["tex_err0_diffuse"], r
+        assert r["loss_last"] < 0.97 * r["loss_first"], r
+        # and not diverge past the noise band
         assert r["loss_last"] < 1.5 * r["noise_floor"], r
-        # the optimizer actually moved the material, and not unboundedly
-        assert 1e-4 < r["tex_err"] < 0.5, r

@@ -67,7 +67,7 @@ def main():
     from zdr_tpu.geometry.procedural import (
         make_cornell_box,
         make_cornell_light,
-        make_quad_light,
+        make_quad,
         make_uv_sphere,
     )
     from zdr_tpu.integrators import pallas_loop as plp
@@ -149,8 +149,8 @@ def main():
 
     # ---------------- MXU sweeps (direct protocol, 962-tri sphere) -------
     sph = Scene(
-        [(make_uv_sphere(24, 40), None, None),
-         (make_quad_light(), None, 10.0)],
+        [(make_uv_sphere(0.5, 16, 32), None, None),
+         (make_quad(size=1.0, y=-2.0), None, 10.0)],
         integrator="direct", accel="pallas",
     )
     sp, lp2 = build_fused_const(sph._data, sph._data.fused_meta)
@@ -170,14 +170,16 @@ def main():
         )[0]
 
     dt = timeit_l(k1, d3[0])
-    # comp sweep: 3 dot-sets x 3 passes x (2*4*tile) MACs per lane-tile
-    # pair; assume ~40% of tiles survive culling on incoherent rays
+    # comp sweep MXU work: per (row, tile) visit, 3 dot-sets x 3 comp
+    # passes, each (4, tile) x (4, 2*LANES) = 2*4*tile*2*LANES flops.
+    # Culling fraction measured separately; assume worst case (all tiles).
     n_tiles = t_pad // tile
-    frac = 0.4
-    mxu = N * n_tiles * frac * 3 * 3 * 2 * 4 * tile / tile  # per lane: K=4 dots
-    mxu = N * n_tiles * frac * 3 * 3 * (2 * 4) * 1  # 3 dotsets x comp3 x 8 flop
-    report(f"k1 MXU closest ({t_pad} tris)", dt, mxu_flops=mxu * tile,
-           hbm_bytes=N * 4 * (8 + 16))
+    n_rows = N // LANES
+    mxu = n_rows * n_tiles * 3 * 3 * (2 * 4 * tile * 2 * LANES)
+    # VPU epilogue: ~15 ops per (tile, LANES) pair per visit + argmin keying
+    vpu = n_rows * n_tiles * tile * LANES * 25
+    report(f"k1 MXU closest ({t_pad} tris, all tiles)", dt, vpu_ops=vpu,
+           mxu_flops=mxu, hbm_bytes=N * 4 * (8 + 16))
 
     print("\n| stage | ms | VPU % | MXU % | HBM % |")
     print("|---|---|---|---|---|")
