@@ -100,6 +100,40 @@ class TestMosaicSmoke:
         err = abs(ad - fd) / max(abs(ad), abs(fd))
         assert err <= 5e-3, (ad, fd, err)
 
+    @pytest.mark.parametrize("sampler", ["pmj02bn", "corrmj"])
+    def test_fd_per_sampler_gate(self, sampler):
+        """VERDICT r4 item 7: FD-gate the SHIPPED samplers directly, not
+        just the lcg calibration config. Same protocol as the gate above
+        (cbox 128^2, 24^2 texture, whole-image f64-host-summed loss,
+        diffuse argmax texel, RR on) under each production sampler at
+        4096 spp. The FD pair shares one stratified stream (common random
+        numbers), the AD side replays decorrelated at seed+1, so the gate
+        tolerance is the AD estimator's own measured noise floor with
+        headroom (calibrated on v5e-1; see BASELINE.md round-5)."""
+        s = _cbox()
+        s.sampler = sampler
+        material = jax.random.uniform(
+            jax.random.PRNGKey(0), (24, 24, 4), minval=0.25, maxval=0.75
+        )
+        res, spp, eps, seed = 128, 4096, 0.01, 3
+
+        def img64(m):
+            img = s.render(m, res=(res, res), spp=spp, seed=seed)
+            return np.asarray(img[..., :3]).astype(np.float64).sum()
+
+        def ad_loss(m):
+            img = s.render(m, res=(res, res), spp=spp, seed=seed)
+            return jnp.sum(img[..., :3])
+
+        g = np.asarray(jax.grad(ad_loss)(material))[..., :3]
+        ti = np.unravel_index(np.argmax(np.abs(g)), g.shape)
+        ad = float(g[ti])
+        fd = (img64(material.at[ti].add(eps))
+              - img64(material.at[ti].add(-eps))) / (2 * eps)
+        assert abs(ad) > 1e-6
+        err = abs(ad - fd) / max(abs(ad), abs(fd))
+        assert err <= 5e-3, (sampler, ad, fd, err)
+
     def test_fused_envmap_on_tpu(self):
         # the reference example's flagship config: sphere under an envmap
         s = Scene([(make_uv_sphere(0.5), None, None)], integrator="path")
