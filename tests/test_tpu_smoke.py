@@ -56,6 +56,11 @@ class TestMosaicSmoke:
     def test_fused_grad_matches_unfused_on_tpu(self):
         s = _cbox()
         s.packed_splat = False
+        # merge=1: realization equality across backward implementations
+        # only holds with per-tap flushing (the one-walk loop backward
+        # groups merge taps differently than the interleaved walks — both
+        # unbiased, gated statistically in test_config_knobs)
+        s.splat_merge = 1
 
         def loss(m):
             return jnp.sum(s.render(m, res=(48, 48), spp=4, seed=0)[..., :3])

@@ -49,7 +49,7 @@ class GlueTables(NamedTuple):
     # emissive-first bounce lookup's shading-normal test)
     light_inst: jnp.ndarray  # (max(n_lights,1), 2) f32 [tri_offset, tri_count]
     point_pack: jnp.ndarray  # (max(n_point,1), 8) f32 [pos3, intensity3, 0, 0]
-    env_alias: jnp.ndarray  # (hm + hm*wm, 2) f32 [prob, alias_idx bits]
+    env_alias: jnp.ndarray  # (hm + hm*wm, 2) f32 [prob, alias_idx as VALUE]
     env_pdf: jnp.ndarray  # (hm * wm,) f32 (density on the unit square)
     env_quads: jnp.ndarray  # ((H-1) * (W+1), 16) wrap-augmented RGBA quads
 
@@ -89,11 +89,14 @@ def build_glue_tables(data: SceneData, meta, light_pack) -> GlueTables:
         point_pack = jnp.zeros((1, 8), jnp.float32)
     if meta.n_env > 0:
         env = data.env
+        # the alias index rides as a float VALUE (exact below 2^24), NOT a
+        # bitcast: small int32 bit patterns are f32 DENORMALS, and TPU
+        # gathers from tiny-minor-dim tables lower through arithmetic that
+        # flushes denormals to zero — measured: every gathered alias index
+        # read back 0 on v5e, silently collapsing env NEE onto texel row 0
+        # (round-5 fix; the unfused path keeps separate prob/idx arrays)
         env_alias = jnp.stack(
-            [
-                env.alias_prob,
-                jax.lax.bitcast_convert_type(env.alias_idx, jnp.float32),
-            ],
+            [env.alias_prob, env.alias_idx.astype(jnp.float32)],
             axis=-1,
         )
         env_pdf = env.pdf
@@ -248,7 +251,7 @@ def _sample_alias_planes(env_alias, n, u_in, offset):
     ur = u - jnp.floor(u)
     rows = env_alias[i + offset]
     prob = rows[..., 0]
-    alias = jax.lax.bitcast_convert_type(rows[..., 1], jnp.int32)
+    alias = rows[..., 1].astype(jnp.int32)  # float-VALUE-encoded index
     take_self = ur < prob
     index = jnp.where(take_self, i, alias)
     uu = jnp.where(

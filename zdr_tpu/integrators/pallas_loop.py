@@ -116,7 +116,14 @@ def loop_eligible(data: SceneData, cfg) -> bool:
         fused_eligible(data, cfg)
         and meta is not None
         and meta.n_env == 0
-        and meta.num_tris <= FUSED_MAX_TRIS
+        # fori-swept scenes only for now: the loop kernel's per-row MXU
+        # sweeps assemble row results by concatenating VALUE slices taken
+        # at different offsets, which Mosaic refuses to lower (the same
+        # "offset mismatch on non-concat dimension" limit hit by the
+        # sweep-dot stacking attempt — see pallas_bounce._tile_uv_t).
+        # MXU-size scenes keep the 2-kernel fused route; restructuring
+        # the row loops onto scratch refs is future work.
+        and meta.num_tris < MXU_MIN_TRIS
         and 0 < len(meta.light_tri_ids) + meta.n_point
         and len(meta.light_tri_ids) <= LOOP_MAX_LIGHT_TRIS
         and cfg.sampler in FUSED2_SAMPLERS

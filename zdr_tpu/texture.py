@@ -266,13 +266,15 @@ def make_splat_buffer(
     sb: int, n_lanes: int, n_bins: int, packed: bool
 ) -> jnp.ndarray:
     """Zeroed (sb, 1+nch, n_lanes) bounce-batched splat buffer: row 0 holds
-    corner ids (bitcast f32; sentinel n_bins = masked entry), the remaining
+    corner ids (exact f32 VALUES; sentinel n_bins = masked entry), the remaining
     rows the channel payloads — bf16-packed pairs (2 rows) when packed, raw
     f32 (4 rows) otherwise. One dynamic_update per bounce replaces per-plane
     buffer updates (measured ~25% of the unfused backward)."""
-    sentinel_f = jax.lax.bitcast_convert_type(
-        jnp.full((1, n_lanes), n_bins, jnp.int32), jnp.float32
+    assert n_bins + 1 < (1 << 24), (
+        "splat ids ride the buffer as exact f32 VALUES; textures past "
+        "4096^2 texels need a wider id encoding"
     )
+    sentinel_f = jnp.full((1, n_lanes), float(n_bins), jnp.float32)
     nch = 2 if packed else 4
     return jnp.concatenate(
         [sentinel_f, jnp.zeros((nch, n_lanes), jnp.float32)], axis=0
@@ -283,7 +285,12 @@ def splat_buffer_row(ids, g0, g1, g2, g3, packed: bool) -> jnp.ndarray:
     """One bounce's splat-buffer row (1+nch, N), layout-matched to
     make_splat_buffer. Packing at emission (vs at flush) keeps the buffer
     40% smaller and lets the flush's first sort ride 3 operands."""
-    ids_f = jax.lax.bitcast_convert_type(ids.reshape(1, -1), jnp.float32)
+    # ids ride as exact f32 VALUES (< 2^24), never bitcast: int32 bit
+    # patterns are f32 denormals and the 2026-08 TPU toolchain flushes
+    # them to zero inside some lowerings (measured: every buffered splat
+    # id read back 0 -> the whole gradient landed on texel (0,0));
+    # value-encoding is flush-immune and exact
+    ids_f = ids.reshape(1, -1).astype(jnp.float32)
     if packed:
         return jnp.concatenate(
             [
@@ -305,7 +312,7 @@ def splat_buffer_row(ids, g0, g1, g2, g3, packed: bool) -> jnp.ndarray:
 
 def flush_splat_buffer(d_mat, buf, n_bins: int, packed: bool) -> jnp.ndarray:
     """Drain a splat buffer into the channel-major accumulator (4, n_bins)."""
-    ids = jax.lax.bitcast_convert_type(buf[:, 0, :], jnp.int32).reshape(-1)
+    ids = buf[:, 0, :].astype(jnp.int32).reshape(-1)
     chans = [buf[:, c + 1, :].reshape(-1) for c in range(buf.shape[1] - 1)]
     return d_mat + segment_scatter_add4(
         ids, chans, n_bins, packed=packed, prepacked=packed
